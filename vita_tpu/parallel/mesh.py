@@ -1,0 +1,58 @@
+"""Device mesh construction and the framework's named sharding axes.
+
+One mesh serves training and serving (SURVEY.md §5.8): GSPMD partitioning
+over these axes replaces the reference's three separate mechanisms —
+DeepSpeed ZeRO sharded-DP (script/deepspeed/zero3.json), vLLM explicit
+tensor-parallel layers (web_demo/vllm_tools/vllm_file/mixtral.py:461-476),
+and its TP-sharded FusedMoE (same file :375-423).
+
+Axes:
+  data   — batch data parallelism (maps to DCN between slices).
+  fsdp   — parameter/optimizer sharding (ZeRO-3 equivalent), ICI.
+  expert — MoE expert parallelism (all_to_all dispatch), ICI.
+  model  — tensor parallelism of attention heads / MLP columns, ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA, FSDP, EXPERT, MODEL = "data", "fsdp", "expert", "model"
+AXES: Tuple[str, ...] = (DATA, FSDP, EXPERT, MODEL)
+
+
+def make_mesh(
+    shape: Optional[Sequence[int]] = None,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build the 4-axis framework mesh.
+
+    ``shape`` is (data, fsdp, expert, model) sizes; its product must equal
+    the device count. Default: all devices on the fsdp axis (pure ZeRO-3
+    style), which is the right default for training a MoE that fits memory
+    when parameter-sharded.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if shape is None:
+        shape = (1, n, 1, 1)
+    shape = tuple(int(s) for s in shape)
+    if len(shape) != 4:
+        raise ValueError(f"mesh shape must have 4 axes {AXES}, got {shape}")
+    if int(np.prod(shape)) != n:
+        raise ValueError(f"mesh shape {shape} does not cover {n} devices")
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, AXES)
+
+
+def shard(mesh: Mesh, *spec) -> NamedSharding:
+    return NamedSharding(mesh, P(*spec))
+
+
+def local_mesh_for_testing(n: int = 8) -> Mesh:
+    """Mesh over the first n local devices (CPU-simulated in tests)."""
+    return make_mesh(devices=jax.devices()[:n], shape=(1, n, 1, 1))
