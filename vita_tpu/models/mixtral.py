@@ -1,0 +1,274 @@
+"""Mixtral MoE decoder-only LM, TPU-native.
+
+One implementation serves training, prefill and decode (the reference keeps
+two — an HF stack (vita/model/language_model/vita_mixtral.py) and a vLLM
+tensor-parallel rewrite (web_demo/vllm_tools/vllm_file/mixtral.py); weight
+remapping between them is hand-coded there at :1197-1221).
+
+Design:
+  - Per-layer parameters are stacked on a leading L axis and the layer loop
+    is a `lax.scan` — one trace/compile of the layer body regardless of
+    depth.
+  - KV cache is a static-shape pytree [L, B, S_max, H_kv, D]; decode writes
+    via dynamic_update_slice at the current position.
+  - Attention bias (causal + padding) is built on the fly from positions
+    and a validity mask — never a [S,S] host-side constant.
+  - Sharding is declarative: `param_specs(cfg)` returns a PartitionSpec
+    pytree over the (data, fsdp, expert, model) mesh; GSPMD inserts the
+    collectives (ZeRO-3-equivalent fsdp sharding for training, TP/EP for
+    serving) — replacing DeepSpeed and the vLLM parallel layers.
+
+Shapes follow the deployed VITA config
+(web_demo/vllm_tools/model_weight_file/config.json:17-44): 32L, 4096d,
+32 q-heads / 8 kv-heads, 8 experts top-2, ffn 14336, rope 1e6, vocab 51760.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from vita_tpu.ops.attention import NEG_INF, mha
+from vita_tpu.ops.moe import init_moe_params, load_balancing_loss, moe_ffn, route_topk
+from vita_tpu.ops.norms import rms_norm
+from vita_tpu.ops.rope import apply_rope
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class MixtralConfig:
+    vocab_size: int = 51760
+    d_model: int = 4096
+    n_layers: int = 32
+    n_heads: int = 32
+    n_kv_heads: int = 8
+    d_ff: int = 14336
+    n_experts: int = 8
+    top_k: int = 2
+    rope_theta: float = 1e6
+    rms_eps: float = 1e-5
+    max_position: int = 32768
+    router_aux_loss_coef: float = 0.02
+    moe_mode: str = "dense"  # 'dense' | 'capacity' (training at scale)
+    moe_capacity_factor: float = 1.25
+    attn_backend: str = "xla"  # 'xla' | 'flash'
+    dtype: Any = jnp.float32
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.n_heads
+
+    @staticmethod
+    def vita_8x7b(**kw) -> "MixtralConfig":
+        return MixtralConfig(**{**dict(dtype=jnp.bfloat16), **kw})
+
+    @staticmethod
+    def tiny(**kw) -> "MixtralConfig":
+        """Small config for tests / CPU development."""
+        base = dict(
+            vocab_size=512, d_model=64, n_layers=2, n_heads=4, n_kv_heads=2,
+            d_ff=128, n_experts=4, top_k=2,
+        )
+        base.update(kw)
+        return MixtralConfig(**base)
+
+
+def init_params(rng: jax.Array, cfg: MixtralConfig) -> Params:
+    dt = cfg.dtype
+    d, hd = cfg.d_model, cfg.head_dim
+    keys = jax.random.split(rng, 8)
+    s = d**-0.5
+
+    def layer_init(k):
+        ks = jax.random.split(k, 5)
+        return {
+            "attn": {
+                "wq": jax.random.normal(ks[0], (cfg.n_layers, d, cfg.n_heads * hd), dt) * s,
+                "wk": jax.random.normal(ks[1], (cfg.n_layers, d, cfg.n_kv_heads * hd), dt) * s,
+                "wv": jax.random.normal(ks[2], (cfg.n_layers, d, cfg.n_kv_heads * hd), dt) * s,
+                "wo": jax.random.normal(ks[3], (cfg.n_layers, cfg.n_heads * hd, d), dt) * s,
+            },
+            "moe": jax.vmap(
+                lambda kk: init_moe_params(kk, cfg.n_experts, d, cfg.d_ff, dt)
+            )(jax.random.split(ks[4], cfg.n_layers)),
+            "ln_attn": jnp.ones((cfg.n_layers, d), dt),
+            "ln_moe": jnp.ones((cfg.n_layers, d), dt),
+        }
+
+    return {
+        "embed": jax.random.normal(keys[0], (cfg.vocab_size, d), dt) * s,
+        "layers": layer_init(keys[1]),
+        "ln_final": jnp.ones((d,), dt),
+        "lm_head": jax.random.normal(keys[2], (d, cfg.vocab_size), dt) * s,
+    }
+
+
+def param_specs(cfg: MixtralConfig) -> Params:
+    """PartitionSpec pytree mirroring init_params' structure.
+
+    Leading layer-stack axis is unsharded; 'model' shards heads/ffn columns
+    (TP), 'expert' shards the expert axis (EP), 'fsdp' shards the remaining
+    large dim (ZeRO-3-style parameter sharding).
+    """
+    return {
+        "embed": P("model", "fsdp"),
+        "layers": {
+            "attn": {
+                "wq": P(None, "fsdp", "model"),
+                "wk": P(None, "fsdp", "model"),
+                "wv": P(None, "fsdp", "model"),
+                "wo": P(None, "model", "fsdp"),
+            },
+            "moe": {
+                "router": P(None, "fsdp", None),
+                "w_gate": P(None, "expert", "fsdp", "model"),
+                "w_up": P(None, "expert", "fsdp", "model"),
+                "w_down": P(None, "expert", "model", "fsdp"),
+            },
+            "ln_attn": P(None, None),
+            "ln_moe": P(None, None),
+        },
+        "ln_final": P(None),
+        "lm_head": P("fsdp", "model"),
+    }
+
+
+def init_kv_cache(
+    cfg: MixtralConfig, batch: int, max_len: int, dtype=None
+) -> Params:
+    dt = dtype or cfg.dtype
+    shape = (cfg.n_layers, batch, max_len, cfg.n_kv_heads, cfg.head_dim)
+    return {
+        "k": jnp.zeros(shape, dt),
+        "v": jnp.zeros(shape, dt),
+        "pos": jnp.zeros((), jnp.int32),
+    }
+
+
+def kv_cache_specs(cfg: MixtralConfig) -> Params:
+    return {
+        "k": P(None, ("data", "fsdp"), None, "model", None),
+        "v": P(None, ("data", "fsdp"), None, "model", None),
+        "pos": P(),
+    }
+
+
+def _attention_block(
+    lp: Params,
+    cfg: MixtralConfig,
+    x: jnp.ndarray,  # [B, S, D]
+    positions: jnp.ndarray,  # [B, S]
+    kv_valid: jnp.ndarray,  # [B, S_kv] bool — which kv slots are attendable
+    layer_k: Optional[jnp.ndarray],  # cache slices [B, S_max, Hkv, D] or None
+    layer_v: Optional[jnp.ndarray],
+    cache_pos: Optional[jnp.ndarray],
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
+    b, s, d = x.shape
+    hq, hkv, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+
+    q = (x @ lp["wq"]).reshape(b, s, hq, hd)
+    k = (x @ lp["wk"]).reshape(b, s, hkv, hd)
+    v = (x @ lp["wv"]).reshape(b, s, hkv, hd)
+    q, k = apply_rope(q, k, positions, cfg.rope_theta)
+
+    if layer_k is not None:
+        k_all = jax.lax.dynamic_update_slice(layer_k, k.astype(layer_k.dtype), (0, cache_pos, 0, 0))
+        v_all = jax.lax.dynamic_update_slice(layer_v, v.astype(layer_v.dtype), (0, cache_pos, 0, 0))
+        kv_positions = jnp.arange(k_all.shape[1])[None, :]
+        new_k, new_v = k_all, v_all
+    else:
+        k_all, v_all = k, v
+        kv_positions = positions
+        new_k = new_v = None
+
+    # Additive bias: causal (kv_pos <= q_pos) AND kv slot valid.
+    causal = kv_positions[:, None, :] <= positions[:, :, None]  # [B, Sq, Skv]
+    keep = causal & kv_valid[:, None, :]
+    bias = jnp.where(keep[:, None], 0.0, NEG_INF).astype(jnp.float32)  # [B,1,Sq,Skv]
+    out = mha(q, k_all.astype(q.dtype), v_all.astype(q.dtype), bias=bias,
+              backend=cfg.attn_backend)
+    out = out.reshape(b, s, hq * hd) @ lp["wo"]
+    return out, new_k, new_v
+
+
+def forward(
+    params: Params,
+    cfg: MixtralConfig,
+    input_ids: Optional[jnp.ndarray] = None,  # [B, S] int32
+    inputs_embeds: Optional[jnp.ndarray] = None,  # [B, S, D]
+    positions: Optional[jnp.ndarray] = None,  # [B, S]
+    attn_valid: Optional[jnp.ndarray] = None,  # [B, S_kv] bool
+    cache: Optional[Params] = None,
+    token_mask: Optional[jnp.ndarray] = None,  # [B, S] real (non-pad) tokens, for aux loss
+) -> Tuple[jnp.ndarray, Optional[Params], jnp.ndarray]:
+    """Returns (logits [B, S, V], new_cache or None, moe_aux_loss scalar)."""
+    if inputs_embeds is None:
+        inputs_embeds = jnp.take(params["embed"], input_ids, axis=0)
+    b, s, d = inputs_embeds.shape
+    if positions is None:
+        base = cache["pos"] if cache is not None else 0
+        positions = jnp.arange(s)[None, :] + base
+        positions = jnp.broadcast_to(positions, (b, s))
+    if attn_valid is None:
+        kv_len = cache["k"].shape[2] if cache is not None else s
+        attn_valid = jnp.ones((b, kv_len), bool)
+
+    tm_flat = None if token_mask is None else token_mask.reshape(-1)
+
+    def layer_fn(carry, layer_inputs):
+        x, aux_sum = carry
+        lp, ck, cv = layer_inputs
+        h = rms_norm(x, lp["ln_attn"], cfg.rms_eps)
+        attn_out, nk, nv = _attention_block(
+            lp["attn"], cfg, h, positions, attn_valid, ck, cv,
+            cache["pos"] if cache is not None else None,
+        )
+        x = x + attn_out
+        h = rms_norm(x, lp["ln_moe"], cfg.rms_eps)
+        moe_out, aux = moe_ffn(
+            lp["moe"], h.reshape(b * s, d), cfg.top_k,
+            mode=cfg.moe_mode, capacity_factor=cfg.moe_capacity_factor,
+            token_mask=tm_flat,
+        )
+        x = x + moe_out.reshape(b, s, d)
+        return (x, aux_sum + aux), (nk, nv)
+
+    if cache is not None:
+        xs = (params["layers"], cache["k"], cache["v"])
+    else:
+        nl = cfg.n_layers
+        xs = (params["layers"], jnp.zeros((nl, 0)), jnp.zeros((nl, 0)))
+
+        def layer_fn_nocache(carry, layer_inputs):  # avoid tracing cache branch
+            x, aux_sum = carry
+            lp, _, _ = layer_inputs
+            h = rms_norm(x, lp["ln_attn"], cfg.rms_eps)
+            attn_out, _, _ = _attention_block(
+                lp["attn"], cfg, h, positions, attn_valid, None, None, None
+            )
+            x = x + attn_out
+            h = rms_norm(x, lp["ln_moe"], cfg.rms_eps)
+            moe_out, aux = moe_ffn(
+                lp["moe"], h.reshape(b * s, d), cfg.top_k,
+                mode=cfg.moe_mode, capacity_factor=cfg.moe_capacity_factor,
+                token_mask=tm_flat,
+            )
+            x = x + moe_out.reshape(b, s, d)
+            return (x, aux_sum + aux), (None, None)
+
+        layer_fn = layer_fn_nocache
+
+    (x, aux_total), new_kv = jax.lax.scan(layer_fn, (inputs_embeds, jnp.zeros((), jnp.float32)), xs)
+
+    x = rms_norm(x, params["ln_final"], cfg.rms_eps)
+    logits = x @ params["lm_head"]
+
+    new_cache = None
+    if cache is not None:
+        new_cache = {"k": new_kv[0], "v": new_kv[1], "pos": cache["pos"] + s}
+    return logits, new_cache, aux_total / cfg.n_layers

@@ -1,0 +1,152 @@
+"""Mixture-of-Experts: top-k routing, SwiGLU experts, two execution paths.
+
+Routing semantics match the Mixtral backbone the reference serves
+(softmax over all experts -> top-k -> renormalize the k weights), and the
+Switch-style load-balancing auxiliary loss matches the reference's patched
+forward (reference: vita/model/language_model/vita_mixtral.py:20-98,101-218).
+
+Execution paths:
+  - "dense": every expert runs on every token, outputs weighted by the
+    (zeroed) router weights. Exact — no token dropping — and the layout is
+    three big batched einsums, so small/test configs and low-batch decode
+    map straight onto the MXU. O(E/k) extra FLOPs.
+  - "capacity": GShard-style static dispatch/combine einsums with per-expert
+    capacity C = ceil(T*k/E * capacity_factor). Static shapes, shardable
+    over the 'expert' mesh axis (the dispatch einsum lowers to all-to-all
+    under GSPMD). Tokens overflowing an expert's capacity lose that
+    expert's contribution (standard dropping semantics).
+
+This replaces the reference's external FusedMoE CUDA kernel
+(web_demo/vllm_tools/vllm_file/mixtral.py:375-423).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class MoEParamsSpec:
+    n_experts: int
+    d_model: int
+    d_ff: int
+
+
+def init_moe_params(rng, n_experts: int, d_model: int, d_ff: int, dtype=jnp.float32):
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    scale_in = d_model**-0.5
+    scale_ff = d_ff**-0.5
+    return {
+        "router": jax.random.normal(k1, (d_model, n_experts), dtype) * scale_in,
+        # Stacked expert weights, leading axis = expert (shard over 'expert').
+        "w_gate": jax.random.normal(k2, (n_experts, d_model, d_ff), dtype) * scale_in,
+        "w_up": jax.random.normal(k3, (n_experts, d_model, d_ff), dtype) * scale_in,
+        "w_down": jax.random.normal(k4, (n_experts, d_ff, d_model), dtype) * scale_ff,
+    }
+
+
+def route_topk(
+    router_logits: jnp.ndarray, top_k: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(topk_weights [T,k], topk_idx [T,k], probs [T,E]) — Mixtral semantics.
+
+    Softmax in fp32 over all experts, take top-k, renormalize the k chosen
+    weights to sum to 1.
+    """
+    probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
+    topk_w, topk_i = jax.lax.top_k(probs, top_k)
+    topk_w = topk_w / jnp.sum(topk_w, axis=-1, keepdims=True)
+    return topk_w, topk_i, probs
+
+
+def load_balancing_loss(
+    probs: jnp.ndarray,  # [T, E] softmax router probs
+    topk_idx: jnp.ndarray,  # [T, k]
+    n_experts: int,
+    token_mask: Optional[jnp.ndarray] = None,  # [T] 1 for real tokens
+) -> jnp.ndarray:
+    """Switch-Transformer aux loss: E * sum_e f_e * P_e.
+
+    f_e = fraction of (token, slot) routings hitting expert e;
+    P_e = mean router probability of expert e. Padding tokens are excluded
+    via ``token_mask`` (the reference's attention_mask-aware variant,
+    vita_mixtral.py:60-93).
+    """
+    sel = jax.nn.one_hot(topk_idx, n_experts, dtype=jnp.float32)  # [T, k, E]
+    if token_mask is not None:
+        m = token_mask.astype(jnp.float32)
+        denom = jnp.maximum(m.sum(), 1.0)
+        f = jnp.sum(sel * m[:, None, None], axis=(0, 1)) / (denom * sel.shape[1])
+        p = jnp.sum(probs * m[:, None], axis=0) / denom
+    else:
+        f = jnp.mean(jnp.sum(sel, axis=1), axis=0) / sel.shape[1]
+        p = jnp.mean(probs, axis=0)
+    return n_experts * jnp.sum(f * p)
+
+
+def _expert_ffn(params, x: jnp.ndarray) -> jnp.ndarray:
+    """SwiGLU applied per expert: x [E, C, D] -> [E, C, D]."""
+    gate = jnp.einsum("ecd,edf->ecf", x, params["w_gate"])
+    up = jnp.einsum("ecd,edf->ecf", x, params["w_up"])
+    hidden = jax.nn.silu(gate) * up
+    return jnp.einsum("ecf,efd->ecd", hidden, params["w_down"])
+
+
+def moe_ffn(
+    params,
+    x: jnp.ndarray,  # [T, D] flattened tokens
+    top_k: int = 2,
+    mode: str = "dense",
+    capacity_factor: float = 1.25,
+    token_mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (output [T, D], aux_loss scalar)."""
+    t, d = x.shape
+    e = params["w_gate"].shape[0]
+    router_logits = jnp.einsum(
+        "td,de->te", x.astype(jnp.float32), params["router"].astype(jnp.float32)
+    )
+    topk_w, topk_i, probs = route_topk(router_logits, top_k)
+    aux = load_balancing_loss(probs, topk_i, e, token_mask)
+
+    if mode == "dense":
+        # weights [T, E]: zero except the top-k picks.
+        w_full = (
+            jnp.zeros((t, e), jnp.float32)
+            .at[jnp.arange(t)[:, None], topk_i]
+            .add(topk_w)
+        )
+        xe = jnp.broadcast_to(x, (e, t, d))
+        out_e = _expert_ffn(params, xe)  # [E, T, D]
+        out = jnp.einsum("te,etd->td", w_full.astype(x.dtype), out_e)
+        return out.astype(x.dtype), aux
+
+    if mode == "capacity":
+        capacity = int(max(top_k, np_ceil(t * top_k / e * capacity_factor)))
+        # Position of each (token, slot) within its expert's buffer.
+        sel = jax.nn.one_hot(topk_i, e, dtype=jnp.int32)  # [T, k, E]
+        sel_flat = sel.reshape(t * top_k, e)
+        pos = jnp.cumsum(sel_flat, axis=0) - 1  # [T*k, E]
+        pos = jnp.sum(pos * sel_flat, axis=-1).reshape(t, top_k)  # [T, k]
+        keep = pos < capacity
+        disp = (
+            jax.nn.one_hot(topk_i, e, dtype=x.dtype)[..., None]
+            * jax.nn.one_hot(jnp.where(keep, pos, 0), capacity, dtype=x.dtype)[:, :, None, :]
+            * keep[..., None, None].astype(x.dtype)
+        )  # [T, k, E, C]
+        dispatch = jnp.sum(disp, axis=1)  # [T, E, C] 0/1
+        combine = jnp.sum(disp * topk_w[..., None, None].astype(x.dtype), axis=1)
+        expert_in = jnp.einsum("tec,td->ecd", dispatch, x)
+        expert_out = _expert_ffn(params, expert_in)
+        out = jnp.einsum("tec,ecd->td", combine, expert_out)
+        return out.astype(x.dtype), aux
+
+    raise ValueError(f"unknown moe mode {mode!r}")
+
+
+def np_ceil(v: float) -> int:
+    return int(-(-v // 1))
