@@ -1,0 +1,188 @@
+"""InternViT vision tower, TPU-native.
+
+Behavior-parity target: the reference's InternViT-300M encoder and wrapper
+(vita/model/multimodal_encoder/internvit/modeling_intern_vit.py:34-394,
+internvit_encoder.py:42-106) with the deployed config
+(model_weight_file/config.json vision_config): 24 layers, hidden 1024,
+16 heads, mlp 4096, 448px, patch 14, LayerNorm (eps 1e-6), qkv bias,
+no qk-norm, learnable per-layer scales (ls1/ls2), erf-GELU.
+
+TPU-first choices:
+  - Patch embedding is a patchify-reshape + one matmul (kernel == stride
+    conv is exactly that) — lands on the MXU instead of a conv kernel.
+  - Layers are stacked and scanned like the LLM.
+  - Output is the spliceable feature sequence: last hidden state, CLS
+    dropped, values scaled by 0.5, pixel-shuffle x0.5 => 256 tokens of dim
+    4096 per 448x448 tile (internvit_encoder.py:55-79).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from vita_tpu.ops.attention import mha
+from vita_tpu.ops.norms import layer_norm
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class InternViTConfig:
+    image_size: int = 448
+    patch_size: int = 14
+    hidden: int = 1024
+    n_layers: int = 24
+    n_heads: int = 16
+    mlp_dim: int = 4096
+    ln_eps: float = 1e-6
+    pixel_shuffle_scale: float = 0.5
+    dtype: Any = jnp.float32
+
+    @property
+    def grid(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.grid * self.grid
+
+    @property
+    def out_dim(self) -> int:
+        # pixel-shuffle x0.5 folds 2x2 spatial neighborhoods into channels.
+        return self.hidden * int(1 / self.pixel_shuffle_scale) ** 2
+
+    @property
+    def out_tokens(self) -> int:
+        return int(self.num_patches * self.pixel_shuffle_scale**2)
+
+    @staticmethod
+    def vita_300m(**kw) -> "InternViTConfig":
+        return InternViTConfig(**kw)
+
+    @staticmethod
+    def tiny(**kw) -> "InternViTConfig":
+        base = dict(image_size=56, patch_size=14, hidden=32, n_layers=2, n_heads=4, mlp_dim=64)
+        base.update(kw)
+        return InternViTConfig(**base)
+
+
+def init_params(rng: jax.Array, cfg: InternViTConfig) -> Params:
+    dt = cfg.dtype
+    d = cfg.hidden
+    pdim = cfg.patch_size * cfg.patch_size * 3
+    k = jax.random.split(rng, 12)
+    s = d**-0.5
+    nl = cfg.n_layers
+
+    def nrm(key, shape, scale):
+        return jax.random.normal(key, shape, dt) * scale
+
+    return {
+        "patch_embed": {"w": nrm(k[0], (pdim, d), pdim**-0.5), "b": jnp.zeros((d,), dt)},
+        "cls": nrm(k[1], (1, 1, d), 0.02),
+        "pos_embed": nrm(k[2], (1, cfg.num_patches + 1, d), 0.02),
+        "layers": {
+            "qkv_w": nrm(k[3], (nl, d, 3 * d), s),
+            "qkv_b": jnp.zeros((nl, 3 * d), dt),
+            "proj_w": nrm(k[4], (nl, d, d), s),
+            "proj_b": jnp.zeros((nl, d), dt),
+            "fc1_w": nrm(k[5], (nl, d, cfg.mlp_dim), s),
+            "fc1_b": jnp.zeros((nl, cfg.mlp_dim), dt),
+            "fc2_w": nrm(k[6], (nl, cfg.mlp_dim, d), cfg.mlp_dim**-0.5),
+            "fc2_b": jnp.zeros((nl, d), dt),
+            "norm1_w": jnp.ones((nl, d), dt),
+            "norm1_b": jnp.zeros((nl, d), dt),
+            "norm2_w": jnp.ones((nl, d), dt),
+            "norm2_b": jnp.zeros((nl, d), dt),
+            "ls1": jnp.ones((nl, d), dt),
+            "ls2": jnp.ones((nl, d), dt),
+        },
+    }
+
+
+def param_specs(cfg: InternViTConfig) -> Params:
+    """Vision tower is small (300M): fsdp-shard the big matrices, replicate
+    the rest. 'model' sharding is unnecessary at this size."""
+    return {
+        "patch_embed": {"w": P(None, "fsdp"), "b": P(None)},
+        "cls": P(None, None, None),
+        "pos_embed": P(None, None, None),
+        "layers": {
+            "qkv_w": P(None, "fsdp", "model"),
+            "qkv_b": P(None, None),
+            "proj_w": P(None, "model", "fsdp"),
+            "proj_b": P(None, None),
+            "fc1_w": P(None, "fsdp", "model"),
+            "fc1_b": P(None, None),
+            "fc2_w": P(None, "model", "fsdp"),
+            "fc2_b": P(None, None),
+            "norm1_w": P(None, None), "norm1_b": P(None, None),
+            "norm2_w": P(None, None), "norm2_b": P(None, None),
+            "ls1": P(None, None), "ls2": P(None, None),
+        },
+    }
+
+
+def patchify(images: jnp.ndarray, patch: int) -> jnp.ndarray:
+    """[B, H, W, 3] -> [B, (H/p)*(W/p), p*p*3], row-major patch order.
+
+    Channel ordering within a patch matches torch Conv2d flattening
+    (C-major: weight[out, in_c, kh, kw]): features ordered (c, kh, kw).
+    """
+    b, h, w, c = images.shape
+    gh, gw = h // patch, w // patch
+    x = images.reshape(b, gh, patch, gw, patch, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4)  # b, gh, gw, c, ph, pw
+    return x.reshape(b, gh * gw, c * patch * patch)
+
+
+def pixel_shuffle(x: jnp.ndarray, scale: float = 0.5) -> jnp.ndarray:
+    """InternVL pixel-unshuffle: [B, G, G, C] -> [B, G*s, G*s, C/s^2].
+
+    Exact reshape/permute sequence of internvit_encoder.py:42-53 (the
+    reference's variable names call the first spatial dim `w`).
+    """
+    n, w, h, c = x.shape
+    x = x.reshape(n, w, int(h * scale), int(c / scale))
+    x = x.transpose(0, 2, 1, 3)
+    x = x.reshape(n, int(h * scale), int(w * scale), int(c / (scale * scale)))
+    x = x.transpose(0, 2, 1, 3)
+    return x
+
+
+def forward(params: Params, cfg: InternViTConfig, images: jnp.ndarray) -> jnp.ndarray:
+    """images [B, H, W, 3] (preprocessed pixels) -> features [B, T, out_dim]."""
+    b = images.shape[0]
+    d = cfg.hidden
+
+    x = patchify(images.astype(cfg.dtype), cfg.patch_size)
+    x = x @ params["patch_embed"]["w"] + params["patch_embed"]["b"]
+    cls = jnp.broadcast_to(params["cls"], (b, 1, d)).astype(x.dtype)
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["pos_embed"].astype(x.dtype)
+
+    def layer_fn(x, lp):
+        h = layer_norm(x, lp["norm1_w"], lp["norm1_b"], cfg.ln_eps)
+        qkv = h @ lp["qkv_w"] + lp["qkv_b"]
+        q, k, v = jnp.split(qkv.reshape(b, -1, 3, cfg.n_heads, d // cfg.n_heads), 3, axis=2)
+        attn = mha(q.squeeze(2), k.squeeze(2), v.squeeze(2))
+        attn = attn.reshape(b, -1, d) @ lp["proj_w"] + lp["proj_b"]
+        x = x + attn * lp["ls1"]
+        h = layer_norm(x, lp["norm2_w"], lp["norm2_b"], cfg.ln_eps)
+        h = jax.nn.gelu(h @ lp["fc1_w"] + lp["fc1_b"], approximate=False)
+        h = h @ lp["fc2_w"] + lp["fc2_b"]
+        x = x + h * lp["ls2"]
+        return x, None
+
+    x, _ = jax.lax.scan(layer_fn, x, params["layers"])
+
+    feats = x[:, 1:]  # drop CLS (internvit_encoder.py:36-40, select_layer=-1)
+    g = cfg.grid
+    feats = feats.reshape(b, g, g, d)
+    feats = pixel_shuffle(feats * cfg.pixel_shuffle_scale, cfg.pixel_shuffle_scale)
+    return feats.reshape(b, cfg.out_tokens, cfg.out_dim)

@@ -1,0 +1,241 @@
+"""Whale streaming audio encoder, TPU-native.
+
+Behavior-parity target: the reference's NeMo/WeNet-style encoder
+(vita/model/multimodal_encoder/whale/: encoder.py:55-171,
+transformer.py:280-394, attention.py:9-128,273-420, subsampling.py:15-43,
+cmvn.py:7-32) with the deployed config (model_weight_file/config.json
+audio_config): 24 layers, hidden 1024, 16 heads, ffn 4096 (ReLU),
+pre-norm LayerNorm (eps 1e-5), Transformer-XL-style relative-position
+attention *without* rel_shift, sinusoidal PE table, no concat_after.
+
+Pipeline: GlobalCMVN -> Conv2dSubsampling4 (two 3x3 stride-2 valid convs,
+T -> ((T-1)//2-1)//2) -> linear embed + LN + ReLU -> x*sqrt(d) ->
+24 transformer layers -> final LN. ~25 feature frames/sec at the output;
+the CNN adapter (projectors.py) halves that again to ~12.5 tokens/sec.
+
+Full bidirectional attention over valid frames (the deployed non-streaming
+path, vllm_file/whale.py:596-654); chunked-causal masks for streaming
+training are provided by `chunk_mask`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from vita_tpu.ops.attention import NEG_INF
+from vita_tpu.ops.norms import layer_norm
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class WhaleConfig:
+    input_dim: int = 80
+    hidden: int = 1024
+    n_layers: int = 24
+    n_heads: int = 16
+    ffn_dim: int = 4096
+    ln_eps: float = 1e-5
+    max_positions: int = 5000
+    dtype: Any = jnp.float32
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden // self.n_heads
+
+    @property
+    def conv_out_freq(self) -> int:
+        return ((self.input_dim - 1) // 2 - 1) // 2
+
+    @staticmethod
+    def vita(**kw) -> "WhaleConfig":
+        return WhaleConfig(**kw)
+
+    @staticmethod
+    def tiny(**kw) -> "WhaleConfig":
+        base = dict(input_dim=80, hidden=32, n_layers=2, n_heads=4, ffn_dim=64)
+        base.update(kw)
+        return WhaleConfig(**base)
+
+
+def subsampled_length(t: jnp.ndarray | int) -> jnp.ndarray | int:
+    """Frame count after Conv2dSubsampling4 (two k=3 s=2 valid convs)."""
+    return ((t - 1) // 2 - 1) // 2
+
+
+def sinusoid_table(max_len: int, d: int) -> np.ndarray:
+    """The WeNet positional table: sin on even dims, cos on odd."""
+    pe = np.zeros((max_len, d), np.float32)
+    position = np.arange(max_len, dtype=np.float32)[:, None]
+    div = np.exp(np.arange(0, d, 2, dtype=np.float32) * -(math.log(10000.0) / d))
+    pe[:, 0::2] = np.sin(position * div)
+    pe[:, 1::2] = np.cos(position * div)
+    return pe
+
+
+def init_params(rng: jax.Array, cfg: WhaleConfig) -> Params:
+    dt = cfg.dtype
+    d = cfg.hidden
+    nl = cfg.n_layers
+    k = jax.random.split(rng, 16)
+    s = d**-0.5
+
+    def nrm(key, shape, scale=0.02):
+        return jax.random.normal(key, shape, dt) * scale
+
+    return {
+        "cmvn": {
+            "mean": jnp.zeros((cfg.input_dim,), jnp.float32),
+            "istd": jnp.ones((cfg.input_dim,), jnp.float32),
+        },
+        "sub": {
+            # conv kernels in HWIO layout for lax.conv (H=time, W=freq)
+            "conv1_w": nrm(k[0], (3, 3, 1, d), (9) ** -0.5),
+            "conv1_b": jnp.zeros((d,), dt),
+            "conv2_w": nrm(k[1], (3, 3, d, d), (9 * d) ** -0.5),
+            "conv2_b": jnp.zeros((d,), dt),
+            "out_w": nrm(k[2], (d * cfg.conv_out_freq, d), (d * cfg.conv_out_freq) ** -0.5),
+            "out_b": jnp.zeros((d,), dt),
+        },
+        "embed": {
+            "w": nrm(k[3], (d, d), s),
+            "b": jnp.zeros((d,), dt),
+            "ln_w": jnp.ones((d,), dt),
+            "ln_b": jnp.zeros((d,), dt),
+        },
+        "layers": {
+            "q_w": nrm(k[4], (nl, d, d), s), "q_b": jnp.zeros((nl, d), dt),
+            "k_w": nrm(k[5], (nl, d, d), s), "k_b": jnp.zeros((nl, d), dt),
+            "v_w": nrm(k[6], (nl, d, d), s), "v_b": jnp.zeros((nl, d), dt),
+            "out_w": nrm(k[7], (nl, d, d), s), "out_b": jnp.zeros((nl, d), dt),
+            "pos_w": nrm(k[8], (nl, d, d), s),  # linear_pos, no bias
+            "pos_bias_u": nrm(k[9], (nl, cfg.n_heads, cfg.head_dim)),
+            "pos_bias_v": nrm(k[10], (nl, cfg.n_heads, cfg.head_dim)),
+            "ffn1_w": nrm(k[11], (nl, d, cfg.ffn_dim), s),
+            "ffn1_b": jnp.zeros((nl, cfg.ffn_dim), dt),
+            "ffn2_w": nrm(k[12], (nl, cfg.ffn_dim, d), cfg.ffn_dim**-0.5),
+            "ffn2_b": jnp.zeros((nl, d), dt),
+            "norm1_w": jnp.ones((nl, d), dt), "norm1_b": jnp.zeros((nl, d), dt),
+            "norm2_w": jnp.ones((nl, d), dt), "norm2_b": jnp.zeros((nl, d), dt),
+        },
+        "ln_final": {"w": jnp.ones((d,), dt), "b": jnp.zeros((d,), dt)},
+    }
+
+
+def param_specs(cfg: WhaleConfig) -> Params:
+    ff = {
+        "q_w": P(None, "fsdp", "model"), "q_b": P(None, None),
+        "k_w": P(None, "fsdp", "model"), "k_b": P(None, None),
+        "v_w": P(None, "fsdp", "model"), "v_b": P(None, None),
+        "out_w": P(None, "model", "fsdp"), "out_b": P(None, None),
+        "pos_w": P(None, "fsdp", "model"),
+        "pos_bias_u": P(None, None, None), "pos_bias_v": P(None, None, None),
+        "ffn1_w": P(None, "fsdp", "model"), "ffn1_b": P(None, None),
+        "ffn2_w": P(None, "model", "fsdp"), "ffn2_b": P(None, None),
+        "norm1_w": P(None, None), "norm1_b": P(None, None),
+        "norm2_w": P(None, None), "norm2_b": P(None, None),
+    }
+    return {
+        "cmvn": {"mean": P(None), "istd": P(None)},
+        "sub": {
+            "conv1_w": P(None, None, None, "model"), "conv1_b": P(None),
+            "conv2_w": P(None, None, None, "model"), "conv2_b": P(None),
+            "out_w": P("fsdp", None), "out_b": P(None),
+        },
+        "embed": {"w": P("fsdp", None), "b": P(None), "ln_w": P(None), "ln_b": P(None)},
+        "layers": ff,
+        "ln_final": {"w": P(None), "b": P(None)},
+    }
+
+
+def _conv_subsample(sub: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """[B, T, F] -> [B, T', hidden] via two stride-2 valid convs + linear."""
+    x = x[..., None]  # NHWC: [B, T, F, 1]
+    x = jax.lax.conv_general_dilated(
+        x, sub["conv1_w"], (2, 2), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    ) + sub["conv1_b"]
+    x = jax.nn.relu(x)
+    x = jax.lax.conv_general_dilated(
+        x, sub["conv2_w"], (2, 2), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    ) + sub["conv2_b"]
+    x = jax.nn.relu(x)
+    b, t, f, c = x.shape
+    # torch flattens as (channel, freq): x.transpose(1,2).view(b, t, c*f)
+    x = x.transpose(0, 1, 3, 2).reshape(b, t, c * f)
+    return x @ sub["out_w"] + sub["out_b"]
+
+
+def chunk_mask(t: int, chunk_size: int, left_chunks: int = -1) -> np.ndarray:
+    """WeNet chunked attention mask [t, t] (whale/utils.py:88-146 semantics):
+    frame i attends within its chunk and up to `left_chunks` chunks back
+    (all history if -1)."""
+    chunk_of = np.arange(t) // chunk_size
+    q = chunk_of[:, None]
+    kv = chunk_of[None, :]
+    ok = kv <= q
+    if left_chunks >= 0:
+        ok &= kv >= q - left_chunks
+    return ok
+
+
+def forward(
+    params: Params,
+    cfg: WhaleConfig,
+    speech: jnp.ndarray,  # [B, T, input_dim] fbank features
+    lengths: jnp.ndarray,  # [B] valid frame counts
+    attn_chunk_mask: Optional[jnp.ndarray] = None,  # [T', T'] bool (streaming)
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (features [B, T', hidden], valid_mask [B, T'])."""
+    b, t, _ = speech.shape
+    x = (speech.astype(jnp.float32) - params["cmvn"]["mean"]) * params["cmvn"]["istd"]
+    x = x.astype(cfg.dtype)
+
+    x = _conv_subsample(params["sub"], x)
+    t_sub = x.shape[1]
+    out_len = subsampled_length(lengths)
+    valid = jnp.arange(t_sub)[None, :] < out_len[:, None]  # [B, T']
+
+    e = params["embed"]
+    x = jax.nn.relu(layer_norm(x @ e["w"] + e["b"], e["ln_w"], e["ln_b"], eps=1e-5))
+    x = x * math.sqrt(cfg.hidden)
+    pos = jnp.asarray(sinusoid_table(t_sub, cfg.hidden), cfg.dtype)  # [T', D]
+
+    keep = valid[:, None, None, :]  # key padding [B,1,1,T']
+    if attn_chunk_mask is not None:
+        keep = keep & attn_chunk_mask[None, None]
+    bias = jnp.where(keep, 0.0, NEG_INF).astype(jnp.float32)
+
+    nh, hd = cfg.n_heads, cfg.head_dim
+    scale = 1.0 / math.sqrt(hd)
+
+    def layer_fn(x, lp):
+        h = layer_norm(x, lp["norm1_w"], lp["norm1_b"], cfg.ln_eps)
+        q = (h @ lp["q_w"] + lp["q_b"]).reshape(b, t_sub, nh, hd)
+        k = (h @ lp["k_w"] + lp["k_b"]).reshape(b, t_sub, nh, hd)
+        v = (h @ lp["v_w"] + lp["v_b"]).reshape(b, t_sub, nh, hd)
+        p = (pos @ lp["pos_w"]).reshape(t_sub, nh, hd)
+        # Transformer-XL terms without rel_shift (attention.py:388-401):
+        # content score (q+u)·k^T plus position score (q+v)·p^T.
+        ac = jnp.einsum("bqhd,bkhd->bhqk", q + lp["pos_bias_u"], k,
+                        preferred_element_type=jnp.float32)
+        bd = jnp.einsum("bqhd,khd->bhqk", q + lp["pos_bias_v"], p,
+                        preferred_element_type=jnp.float32)
+        logits = (ac + bd) * scale + bias
+        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t_sub, cfg.hidden)
+        x = x + (attn @ lp["out_w"] + lp["out_b"])
+        h = layer_norm(x, lp["norm2_w"], lp["norm2_b"], cfg.ln_eps)
+        h = jax.nn.relu(h @ lp["ffn1_w"] + lp["ffn1_b"])
+        x = x + (h @ lp["ffn2_w"] + lp["ffn2_b"])
+        return x, None
+
+    x, _ = jax.lax.scan(layer_fn, x, params["layers"])
+    x = layer_norm(x, params["ln_final"]["w"], params["ln_final"]["b"], cfg.ln_eps)
+    return x, valid

@@ -94,3 +94,125 @@ def load_safetensors_state(paths) -> Dict[str, np.ndarray]:
     for path in paths if isinstance(paths, (list, tuple)) else [paths]:
         state.update(load_file(str(path)))
     return state
+
+
+def internvit_params_from_hf(state: Mapping[str, Any], n_layers: int, dtype=np.float32):
+    """Convert InternVisionModel weights (shipped modeling_intern_vit.py
+    names) to our pytree. Conv patch embedding becomes a [p*p*3, D] matmul
+    (torch conv weight flattening order (in_c, kh, kw) matches patchify)."""
+    g = lambda n: _np(state[n]).astype(dtype)
+    pw = g("embeddings.patch_embedding.weight")  # [D, 3, p, p]
+    d = pw.shape[0]
+
+    def stack(fmt, transpose=True):
+        mats = [g(fmt.format(l=l)) for l in range(n_layers)]
+        return np.stack([m.T if transpose else m for m in mats])
+
+    L = "encoder.layers.{l}."
+    return {
+        "patch_embed": {
+            "w": pw.reshape(d, -1).T,
+            "b": g("embeddings.patch_embedding.bias"),
+        },
+        "cls": g("embeddings.class_embedding"),
+        "pos_embed": g("embeddings.position_embedding"),
+        "layers": {
+            "qkv_w": stack(L + "attn.qkv.weight"),
+            "qkv_b": stack(L + "attn.qkv.bias", transpose=False),
+            "proj_w": stack(L + "attn.proj.weight"),
+            "proj_b": stack(L + "attn.proj.bias", transpose=False),
+            "fc1_w": stack(L + "mlp.fc1.weight"),
+            "fc1_b": stack(L + "mlp.fc1.bias", transpose=False),
+            "fc2_w": stack(L + "mlp.fc2.weight"),
+            "fc2_b": stack(L + "mlp.fc2.bias", transpose=False),
+            "norm1_w": stack(L + "norm1.weight", transpose=False),
+            "norm1_b": stack(L + "norm1.bias", transpose=False),
+            "norm2_w": stack(L + "norm2.weight", transpose=False),
+            "norm2_b": stack(L + "norm2.bias", transpose=False),
+            "ls1": stack(L + "ls1", transpose=False),
+            "ls2": stack(L + "ls2", transpose=False),
+        },
+    }
+
+
+def whale_params_from_hf(
+    state: Mapping[str, Any],
+    n_layers: int,
+    cmvn_mean=None,
+    cmvn_istd=None,
+    dtype=np.float32,
+):
+    """Convert WhaleAudioModel weights (shipped modeling_whale.py names) to
+    our pytree. CMVN stats live outside the HF checkpoint (loaded from the
+    ckpt dir's global_cmvn in the reference, builder.py:44-59) and are
+    passed explicitly."""
+    g = lambda n: _np(state[n]).astype(dtype)
+
+    def stack(fmt, transpose=True):
+        mats = [g(fmt.format(l=l)) for l in range(n_layers)]
+        return np.stack([m.T if transpose else m for m in mats])
+
+    L = "encoder.layers.{l}."
+    conv1 = g("subsampling.conv_in.0.weight")  # [D, 1, 3, 3]
+    conv2 = g("subsampling.conv_in.2.weight")  # [D, D, 3, 3]
+    input_dim_flat = g("subsampling.out.weight").shape[1]
+    return {
+        "cmvn": {
+            "mean": np.zeros((80,), np.float32) if cmvn_mean is None else np.asarray(cmvn_mean),
+            "istd": np.ones((80,), np.float32) if cmvn_istd is None else np.asarray(cmvn_istd),
+        },
+        "sub": {
+            "conv1_w": conv1.transpose(2, 3, 1, 0),  # OIHW -> HWIO
+            "conv1_b": g("subsampling.conv_in.0.bias"),
+            "conv2_w": conv2.transpose(2, 3, 1, 0),
+            "conv2_b": g("subsampling.conv_in.2.bias"),
+            "out_w": g("subsampling.out.weight").T,
+            "out_b": g("subsampling.out.bias"),
+        },
+        "embed": {
+            "w": g("embeddings.embedding.0.weight").T,
+            "b": g("embeddings.embedding.0.bias"),
+            "ln_w": g("embeddings.embedding.1.weight"),
+            "ln_b": g("embeddings.embedding.1.bias"),
+        },
+        "layers": {
+            "q_w": stack(L + "attn.linear_q.weight"),
+            "q_b": stack(L + "attn.linear_q.bias", transpose=False),
+            "k_w": stack(L + "attn.linear_k.weight"),
+            "k_b": stack(L + "attn.linear_k.bias", transpose=False),
+            "v_w": stack(L + "attn.linear_v.weight"),
+            "v_b": stack(L + "attn.linear_v.bias", transpose=False),
+            "out_w": stack(L + "attn.linear_out.weight"),
+            "out_b": stack(L + "attn.linear_out.bias", transpose=False),
+            "pos_w": stack(L + "attn.linear_pos.weight"),
+            "pos_bias_u": stack(L + "attn.pos_bias_u", transpose=False),
+            "pos_bias_v": stack(L + "attn.pos_bias_v", transpose=False),
+            "ffn1_w": stack(L + "feed_forward.w_1.weight"),
+            "ffn1_b": stack(L + "feed_forward.w_1.bias", transpose=False),
+            "ffn2_w": stack(L + "feed_forward.w_2.weight"),
+            "ffn2_b": stack(L + "feed_forward.w_2.bias", transpose=False),
+            "norm1_w": stack(L + "norm1.weight", transpose=False),
+            "norm1_b": stack(L + "norm1.bias", transpose=False),
+            "norm2_w": stack(L + "norm2.weight", transpose=False),
+            "norm2_b": stack(L + "norm2.bias", transpose=False),
+        },
+        "ln_final": {"w": g("encoder.layer_norm.weight"), "b": g("encoder.layer_norm.bias")},
+    }
+
+
+def vision_projector_from_hf(state: Mapping[str, Any], prefix="", dtype=np.float32):
+    g = lambda n: _np(state[prefix + n]).astype(dtype)
+    return {
+        "fc1_w": g("linear_1.weight").T, "fc1_b": g("linear_1.bias"),
+        "fc2_w": g("linear_2.weight").T, "fc2_b": g("linear_2.bias"),
+    }
+
+
+def audio_projector_from_hf(state: Mapping[str, Any], prefix="", dtype=np.float32):
+    g = lambda n: _np(state[prefix + n]).astype(dtype)
+    return {
+        "conv_w": g("conv1d.weight").transpose(2, 1, 0),  # [2D, D, k] -> [k, D, 2D]
+        "conv_b": g("conv1d.bias"),
+        "ln_w": g("norm.weight"), "ln_b": g("norm.bias"),
+        "proj_w": g("linear.weight").T, "proj_b": g("linear.bias"),
+    }
