@@ -1,0 +1,107 @@
+"""Benchmark: Mixtral batch-1 decode on the real chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+Headline metric: achieved HBM bandwidth of the decode step vs the v5e
+roofline (819 GB/s). Batch-1 MoE decode is weight-streaming-bound, so
+bandwidth utilization is the direct measure of kernel quality on one chip
+(BASELINE.md "roofline Mixtral-8x7B decode" target); tokens/s figures are
+derived and reported as extras.
+
+Methodology notes (axon tunnel backend):
+  - jax.block_until_ready does NOT synchronize on this backend; only a
+    host readback does. We time N chained decode steps ending in one
+    int() readback and fit out the ~30 ms tunnel round-trip by
+    differencing two N values.
+  - The full 8x7B (93 GB bf16) exceeds one chip's 16 GB HBM, so we run
+    layers of EXACT production geometry (4096d, 32q/8kv, ffn 14336,
+    8 experts top-2, vocab 51760) at reduced depth and scale per-layer
+    cost to 32 layers for the tokens/s extrapolations.
+"""
+
+import json
+import time
+
+import numpy as np
+
+N_LAYERS_BENCH = 2
+N_LAYERS_FULL = 32
+V5E_HBM_GBPS = 819.0
+N_SMALL, N_LARGE = 8, 64
+PREFILL_LEN = 128
+CACHE_LEN = 512
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from vita_tpu.models import mixtral
+
+    cfg = mixtral.MixtralConfig(
+        n_layers=N_LAYERS_BENCH, moe_mode="dense", dtype=jnp.bfloat16
+    )
+    params = mixtral.init_params(jax.random.PRNGKey(0), cfg)
+    param_bytes = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
+
+    @jax.jit
+    def prefill(params, ids, cache):
+        logits, cache, _ = mixtral.forward(params, cfg, input_ids=ids, cache=cache)
+        return jnp.argmax(logits[:, -1], -1).astype(jnp.int32), cache
+
+    @jax.jit
+    def step(params, tok, cache):
+        logits, cache, _ = mixtral.forward(params, cfg, input_ids=tok[:, None], cache=cache)
+        return jnp.argmax(logits[:, -1], -1).astype(jnp.int32), cache
+
+    ids = jnp.ones((1, PREFILL_LEN), jnp.int32)
+    cache = mixtral.init_kv_cache(cfg, batch=1, max_len=CACHE_LEN)
+
+    t0 = time.time()
+    tok, cache = prefill(params, ids, cache)
+    _ = int(tok[0])
+    prefill_time = time.time() - t0  # includes compile
+
+    tok, cache = step(params, tok, cache)
+    _ = int(tok[0])  # warm decode graph
+
+    def run(n):
+        t, c = tok, cache
+        t0 = time.time()
+        for _ in range(n):
+            t, c = step(params, t, c)
+        _ = int(t[0])  # single synchronizing readback
+        return time.time() - t0
+
+    run(N_SMALL)  # warm the host loop
+    t_small = run(N_SMALL)
+    t_large = run(N_LARGE)
+    per_step = (t_large - t_small) / (N_LARGE - N_SMALL)
+    rtt = max(t_small - N_SMALL * per_step, 0.0)
+
+    achieved_gbps = param_bytes / per_step / 1e9
+    # 32L tokens/s/chip extrapolation (layer-dominated; embed+head ride once)
+    layer_bytes = (param_bytes - 2 * 51760 * 4096 * 2) / N_LAYERS_BENCH
+    full_step = per_step * (layer_bytes * N_LAYERS_FULL + 2 * 51760 * 4096 * 2) / param_bytes
+
+    print(
+        json.dumps(
+            {
+                "metric": "mixtral_decode_hbm_bandwidth_utilization",
+                "value": round(achieved_gbps / V5E_HBM_GBPS, 4),
+                "unit": "fraction_of_v5e_roofline",
+                "vs_baseline": round(achieved_gbps / V5E_HBM_GBPS, 4),
+                "achieved_gb_per_s": round(achieved_gbps, 1),
+                "decode_step_ms_2L_fullwidth": round(per_step * 1000, 3),
+                "tokens_per_s_32L_dense_1chip_extrapolated": round(1.0 / full_step, 2),
+                "tunnel_rtt_ms": round(rtt * 1000, 1),
+                "prefill128_s_incl_compile": round(prefill_time, 2),
+                "param_gb": round(param_bytes / 1e9, 2),
+                "backend": jax.default_backend(),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,195 @@
+"""Checkpointing: orbax-native save/restore + HF-format import.
+
+Two formats:
+  - native: orbax PyTree checkpoint + a config.json — used by the trainer
+    (async save of the sharded pytree; SURVEY.md §5.4's TPU equivalent of
+    the reference's DeepSpeed-gather + HF save paths, train.py:166-202).
+  - HF deploy format: the reference's released checkpoint layout
+    (model_weight_file/config.json + safetensors shards with
+    language_model/vision_tower/audio_model prefixes,
+    vllm_file/mixtral.py:1189-1329 name tables) — imported via
+    vita_tpu.utils.hf_import.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def save_checkpoint(path: str, params, step: int = 0, extra: Optional[Dict] = None) -> None:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.join(path, f"step_{step}"), params, force=True)
+    ckptr.wait_until_finished()
+    if extra:
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump({"step": step, **extra}, f)
+
+
+def load_checkpoint(path: str, step: Optional[int] = None, target=None):
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    if step is None:
+        steps = sorted(
+            int(d.split("_", 1)[1]) for d in os.listdir(path) if d.startswith("step_")
+        )
+        if not steps:
+            raise FileNotFoundError(f"no step_* checkpoints under {path}")
+        step = steps[-1]
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.join(path, f"step_{step}"), target)
+
+
+def latest_step(path: str) -> Optional[int]:
+    if not os.path.isdir(path):
+        return None
+    steps = [int(d.split("_", 1)[1]) for d in os.listdir(path) if d.startswith("step_")]
+    return max(steps) if steps else None
+
+
+def load_vita_checkpoint(path: str):
+    """Load a VITA checkpoint dir -> (VITAConfig, params).
+
+    Accepts the native orbax layout (config.json written by us) or the
+    reference's deployed HF layout (composite config.json + safetensors).
+    """
+    from vita_tpu.models import internvit, mixtral, vita, whale
+
+    cfg_path = os.path.join(path, "config.json")
+    with open(cfg_path) as f:
+        raw = json.load(f)
+
+    if raw.get("format") == "vita_tpu":
+        cfg = _config_from_json(raw)
+        params = load_checkpoint(os.path.join(path, "ckpt"))
+        return cfg, params
+
+    # HF deploy format (model_weight_file/config.json layout)
+    text = raw.get("text_config", raw)
+    vis = raw.get("vision_config", {})
+    aud = raw.get("audio_config", {})
+    cfg = vita.VITAConfig(
+        llm=mixtral.MixtralConfig(
+            vocab_size=text.get("vocab_size", 51760),
+            d_model=text.get("hidden_size", 4096),
+            n_layers=text.get("num_hidden_layers", 32),
+            n_heads=text.get("num_attention_heads", 32),
+            n_kv_heads=text.get("num_key_value_heads", 8),
+            d_ff=text.get("intermediate_size", 14336),
+            n_experts=text.get("num_local_experts", 8),
+            top_k=text.get("num_experts_per_tok", 2),
+            rope_theta=text.get("rope_theta", 1e6),
+            rms_eps=text.get("rms_norm_eps", 1e-5),
+            dtype=jnp.bfloat16,
+        ),
+        vision=internvit.InternViTConfig(
+            image_size=vis.get("image_size", 448),
+            patch_size=vis.get("patch_size", 14),
+            hidden=vis.get("hidden_size", 1024),
+            n_layers=vis.get("num_hidden_layers", 24),
+            n_heads=vis.get("num_attention_heads", 16),
+            mlp_dim=vis.get("intermediate_size", 4096),
+            dtype=jnp.bfloat16,
+        ),
+        audio=whale.WhaleConfig(
+            input_dim=aud.get("input_dim", 80),
+            hidden=aud.get("hidden_size", 1024),
+            n_layers=aud.get("num_hidden_layers", 24),
+            n_heads=aud.get("num_attention_heads", 16),
+            ffn_dim=aud.get("intermediate_size", 4096),
+            dtype=jnp.bfloat16,
+        ),
+    )
+    params = _load_hf_vita_weights(path, cfg)
+    return cfg, params
+
+
+def _config_from_json(raw: Dict[str, Any]):
+    from vita_tpu.models import internvit, mixtral, vita, whale
+
+    def build(cls, d):
+        fields = {f.name for f in dataclasses.fields(cls)}
+        kw = {k: v for k, v in d.items() if k in fields and k != "dtype"}
+        dt = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}.get(d.get("dtype"), jnp.float32)
+        return cls(dtype=dt, **kw)
+
+    return vita.VITAConfig(
+        llm=build(mixtral.MixtralConfig, raw["llm"]),
+        vision=build(internvit.InternViTConfig, raw["vision"]),
+        audio=build(whale.WhaleConfig, raw["audio"]),
+    )
+
+
+def config_to_json(cfg) -> Dict[str, Any]:
+    def dump(c):
+        d = dataclasses.asdict(c)
+        d["dtype"] = "bfloat16" if c.dtype == jnp.bfloat16 else "float32"
+        return d
+
+    return {
+        "format": "vita_tpu",
+        "llm": dump(cfg.llm),
+        "vision": dump(cfg.vision),
+        "audio": dump(cfg.audio),
+    }
+
+
+def save_vita_checkpoint(path: str, cfg, params, step: int = 0) -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(config_to_json(cfg), f, indent=1)
+    save_checkpoint(os.path.join(path, "ckpt"), params, step=step)
+
+
+def _load_hf_vita_weights(path: str, cfg):
+    """Import the deployed HF checkpoint's safetensors into our pytree."""
+    import glob
+
+    from vita_tpu.utils.hf_import import (
+        audio_projector_from_hf,
+        internvit_params_from_hf,
+        load_safetensors_state,
+        mixtral_params_from_hf,
+        vision_projector_from_hf,
+        whale_params_from_hf,
+    )
+
+    shards = sorted(glob.glob(os.path.join(path, "*.safetensors")))
+    if not shards:
+        raise FileNotFoundError(f"no safetensors under {path}")
+    state = load_safetensors_state(shards)
+
+    def sub(prefix):
+        return {k[len(prefix):]: v for k, v in state.items() if k.startswith(prefix)}
+
+    cmvn_mean = cmvn_istd = None
+    fe_path = os.path.join(path, "feature_extractor", "preprocessor_config.json")
+    if os.path.exists(fe_path):
+        with open(fe_path) as f:
+            fe = json.load(f)
+        cmvn_mean = np.asarray(fe.get("cmvn_means"), np.float32)
+        cmvn_istd = np.asarray(fe.get("cmvn_istds"), np.float32)
+
+    params = {
+        "llm": mixtral_params_from_hf(
+            sub("language_model."), cfg.llm, prefix="model.", dtype=np.float32
+        ),
+        "vision": internvit_params_from_hf(sub("vision_tower."), cfg.vision.n_layers),
+        "vision_proj": vision_projector_from_hf(sub("vision_projector.")),
+        "audio": whale_params_from_hf(
+            sub("audio_model."), cfg.audio.n_layers, cmvn_mean, cmvn_istd
+        ),
+        "audio_proj": audio_projector_from_hf(sub("audio_projector.")),
+    }
+    to_dtype = lambda x: jnp.asarray(x, cfg.llm.dtype)
+    return jax.tree.map(to_dtype, params)

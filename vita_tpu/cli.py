@@ -1,0 +1,185 @@
+"""CLI inference demo: text / image / video / audio queries.
+
+Parity surface for the reference's video_audio_demo.py:121-283 — same
+prompt construction (per-modality system prompts), dynamic-patch image
+tiling, fbank audio frontend, and greedy-ish sampling — running on the
+single shared TPU model stack.
+
+Usage:
+  python -m vita_tpu.cli --model tiny-random --question "Hello"
+  python -m vita_tpu.cli --model /path/to/ckpt --image cat.jpg \
+      --question "What is this?" [--audio q.wav] [--max-new-tokens 256]
+
+`--model tiny-random` runs a randomly initialized tiny model with a byte
+tokenizer — the full pipeline without downloaded weights (useful for
+smoke tests; outputs are gibberish by construction).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from vita_tpu.constants import (
+    AUDIO_TOKEN_INDEX,
+    DEFAULT_AUDIO_TOKEN,
+    DEFAULT_IMAGE_TOKEN,
+    IMAGE_TOKEN_INDEX,
+)
+from vita_tpu.conversation import TEMPLATES, Dialog
+from vita_tpu.tokenization import (
+    audio_token_count,
+    expand_media_sentinels,
+    media_masks,
+    tokenize_multimodal,
+)
+
+
+class ByteTokenizer:
+    """Fallback tokenizer: bytes + offset, BOS=1, EOS=2."""
+
+    bos_id, eos_id, offset = 1, 2, 3
+
+    def encode(self, text: str) -> List[int]:
+        return [self.bos_id] + [b + self.offset for b in text.encode()]
+
+    def decode(self, ids) -> str:
+        data = bytes(t - self.offset for t in ids if self.offset <= t < self.offset + 256)
+        return data.decode(errors="replace")
+
+
+def load_hf_tokenizer(path: str):
+    from transformers import AutoTokenizer
+
+    return AutoTokenizer.from_pretrained(path, use_fast=True)
+
+
+def build_prompt(question: str, modality: str, has_audio: bool) -> str:
+    d = Dialog(TEMPLATES["mixtral_two"])
+    parts = []
+    if modality in ("image", "video"):
+        parts.append(DEFAULT_IMAGE_TOKEN)
+    if has_audio:
+        parts.append(DEFAULT_AUDIO_TOKEN)
+    else:
+        parts.append(question)
+    d.user("\n".join(parts))
+    d.assistant()
+    return d.render(modality)
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    p = argparse.ArgumentParser(description="VITA-TPU inference demo")
+    p.add_argument("--model", required=True, help="checkpoint dir or 'tiny-random'")
+    p.add_argument("--question", default="")
+    p.add_argument("--image", default=None)
+    p.add_argument("--video", default=None)
+    p.add_argument("--audio", default=None)
+    p.add_argument("--max-new-tokens", type=int, default=256)
+    p.add_argument("--temperature", type=float, default=0.01)
+    p.add_argument("--max-patches", type=int, default=12)
+    p.add_argument("--max-len", type=int, default=4096)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from vita_tpu.generate import GenerationConfig, Generator
+    from vita_tpu.models import vita
+
+    t0 = time.time()
+    if args.model == "tiny-random":
+        cfg = vita.VITAConfig.tiny()
+        params = vita.init_params(jax.random.PRNGKey(0), cfg)
+        tok = ByteTokenizer()
+        encode, eos_id, bos_id = tok.encode, tok.eos_id, tok.bos_id
+        decode = tok.decode
+    else:
+        from vita_tpu.checkpoint import load_vita_checkpoint
+
+        cfg, params = load_vita_checkpoint(args.model)
+        hf_tok = load_hf_tokenizer(args.model)
+        encode = lambda s: hf_tok(s).input_ids
+        bos_id, eos_id = hf_tok.bos_token_id, hf_tok.eos_token_id
+        decode = lambda ids: hf_tok.decode(ids, skip_special_tokens=True)
+    print(f"[load] {time.time()-t0:.1f}s")
+
+    modality = "image" if args.image else "video" if args.video else "lang"
+    has_audio = args.audio is not None
+
+    images = None
+    n_tiles = 0
+    if args.image:
+        from PIL import Image
+
+        from vita_tpu.data.image import dynamic_tile, normalize
+
+        arr = np.asarray(Image.open(args.image).convert("RGB"))
+        if args.model == "tiny-random":  # tiny tower takes 56px, single tile
+            tiles = [np.asarray(Image.fromarray(arr).resize((cfg.vision.image_size,) * 2))]
+        else:
+            tiles = dynamic_tile(arr, 1, args.max_patches, cfg.vision.image_size, True)
+        images = normalize(tiles)
+        n_tiles = len(tiles)
+    elif args.video:
+        from vita_tpu.data.image import normalize
+        from vita_tpu.data.video import decode_video_frames
+
+        frames = decode_video_frames(args.video)
+        images = normalize(list(frames))
+        n_tiles = len(frames)
+
+    speech = speech_len = None
+    if has_audio:
+        from vita_tpu.data.audio import wav_to_features
+
+        feats, n_frames = wav_to_features(args.audio)
+        speech, speech_len = feats, n_frames
+
+    prompt = build_prompt(args.question, modality, has_audio)
+    ids = tokenize_multimodal(prompt, encode, bos_id=bos_id)
+    img_counts = [n_tiles * cfg.vision.out_tokens] if images is not None else []
+    aud_counts = [audio_token_count(speech_len)] if has_audio else []
+    expanded = expand_media_sentinels(ids, img_counts, aud_counts)
+    safe, im, am = media_masks(np.array(expanded))
+
+    gen = Generator(params, cfg, max_len=args.max_len)
+    gcfg = GenerationConfig(
+        max_new_tokens=args.max_new_tokens,
+        temperature=0.0 if args.temperature <= 0.01 else args.temperature,
+        eos_id=eos_id,
+    )
+
+    t1 = time.time()
+    first_token_t = [None]
+
+    def on_token(_):
+        if first_token_t[0] is None:
+            first_token_t[0] = time.time()
+
+    out = gen.generate(
+        safe,
+        image_mask=im if images is not None else None,
+        audio_mask=am if has_audio else None,
+        images=images,
+        speech=speech,
+        speech_length=speech_len,
+        gen=gcfg,
+        on_token=on_token,
+    )
+    t2 = time.time()
+    text = decode(out)
+    ttft = (first_token_t[0] or t2) - t1
+    print(f"[prompt tokens] {len(expanded)}  [new tokens] {len(out)}")
+    print(f"[TTFT] {ttft*1000:.0f} ms  [decode] {(t2-t1):.2f}s "
+          f"({len(out)/max(t2-t1,1e-9):.1f} tok/s)")
+    print("=" * 40)
+    print(text)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

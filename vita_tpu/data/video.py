@@ -1,0 +1,65 @@
+"""Video decoding: OpenCV (C++/ffmpeg backend) frame extraction.
+
+Equivalent of the reference's decord-based `_get_rawvideo_dec`
+(video_audio_demo.py:30-118): sample at ``sample_fps`` within
+[video_framerate], clamp frame count to [min_frames, max_frames] with
+uniform re-spacing, resize to the ViT input size. Decode runs on host CPU,
+overlapping TPU compute in the serving/training pipelines.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from vita_tpu.constants import MAX_IMAGE_LENGTH, MIN_IMAGE_LENGTH
+from vita_tpu.data.image import sample_video_frames
+
+
+def decode_video_frames(
+    path: str,
+    sample_fps: float = 1.0,
+    max_frames: int = MAX_IMAGE_LENGTH,
+    min_frames: int = MIN_IMAGE_LENGTH,
+    size: int = 448,
+    start_time: Optional[float] = None,
+    end_time: Optional[float] = None,
+) -> List[np.ndarray]:
+    """Returns RGB uint8 frames [size, size, 3], uniformly sampled."""
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise IOError(f"cannot open video: {path}")
+    try:
+        fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+        total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        first, last = 0, max(total - 1, 0)
+        if start_time is not None:
+            first = max(first, int(start_time * fps))
+        if end_time is not None:
+            last = min(last, int(end_time * fps))
+        span = max(last - first + 1, 1)
+
+        rel = sample_video_frames(span, fps, sample_fps, max_frames, min_frames)
+        wanted = set((rel + first).tolist())
+        frames: List[np.ndarray] = []
+        idx = 0
+        while idx <= last and len(frames) < len(wanted):
+            ok = cap.grab()
+            if not ok:
+                break
+            if idx in wanted:
+                ok, frame = cap.retrieve()
+                if not ok:
+                    break
+                frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                frame = cv2.resize(frame, (size, size), interpolation=cv2.INTER_CUBIC)
+                frames.append(frame)
+            idx += 1
+        if not frames:
+            raise IOError(f"no frames decoded from {path}")
+        return frames
+    finally:
+        cap.release()

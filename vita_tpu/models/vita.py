@@ -1,0 +1,171 @@
+"""VITA omni-modal model: encoders + projectors + Mixtral, fused.
+
+One model stack for train and serve (vs. the reference's two —
+vita/model/vita_arch.py for training and web_demo/vllm_tools for serving).
+
+Fusion design (TPU-first, static shapes): the host expands every media
+placeholder to its exact feature count (vita_tpu.tokenization), so fusing
+is a vectorized cumsum-gather — position p with image_mask takes image
+feature number ``cumsum(image_mask)[p]-1`` — instead of the reference's
+data-dependent per-sample Python splice loop (vita_arch.py:237-321). The
+same masks build the labels (feature positions -> IGNORE_INDEX), matching
+vita_arch.py:279-321 semantics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vita_tpu.constants import IGNORE_INDEX
+from vita_tpu.models import internvit, mixtral, projectors, whale
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class VITAConfig:
+    llm: mixtral.MixtralConfig = dataclasses.field(default_factory=mixtral.MixtralConfig)
+    vision: internvit.InternViTConfig = dataclasses.field(
+        default_factory=internvit.InternViTConfig
+    )
+    audio: whale.WhaleConfig = dataclasses.field(default_factory=whale.WhaleConfig)
+    audio_adapter_kernel: int = 5
+
+    @staticmethod
+    def vita_8x7b(**kw) -> "VITAConfig":
+        return VITAConfig(
+            llm=mixtral.MixtralConfig.vita_8x7b(),
+            vision=internvit.InternViTConfig.vita_300m(dtype=jnp.bfloat16),
+            audio=whale.WhaleConfig.vita(dtype=jnp.bfloat16),
+            **kw,
+        )
+
+    @staticmethod
+    def tiny(**kw) -> "VITAConfig":
+        """All three submodels tiny, dims consistent for fusion tests."""
+        llm = mixtral.MixtralConfig.tiny()
+        return VITAConfig(
+            llm=llm,
+            vision=internvit.InternViTConfig.tiny(),
+            audio=whale.WhaleConfig.tiny(),
+            **kw,
+        )
+
+
+def init_params(rng: jax.Array, cfg: VITAConfig) -> Params:
+    k = jax.random.split(rng, 5)
+    d_llm = cfg.llm.d_model
+    return {
+        "llm": mixtral.init_params(k[0], cfg.llm),
+        "vision": internvit.init_params(k[1], cfg.vision),
+        "vision_proj": projectors.init_vision_projector(
+            k[2], cfg.vision.out_dim, d_llm, cfg.llm.dtype
+        ),
+        "audio": whale.init_params(k[3], cfg.audio),
+        "audio_proj": projectors.init_audio_projector(
+            k[4], cfg.audio.hidden, d_llm, cfg.audio_adapter_kernel, cfg.llm.dtype
+        ),
+    }
+
+
+def param_specs(cfg: VITAConfig) -> Params:
+    return {
+        "llm": mixtral.param_specs(cfg.llm),
+        "vision": internvit.param_specs(cfg.vision),
+        "vision_proj": projectors.vision_projector_specs(),
+        "audio": whale.param_specs(cfg.audio),
+        "audio_proj": projectors.audio_projector_specs(),
+    }
+
+
+def encode_images(params: Params, cfg: VITAConfig, images: jnp.ndarray) -> jnp.ndarray:
+    """images [N_tiles, H, W, 3] -> LLM-space features [N_tiles, 256, D]."""
+    feats = internvit.forward(params["vision"], cfg.vision, images)
+    return projectors.vision_projector(params["vision_proj"], feats)
+
+
+def encode_audio(
+    params: Params, cfg: VITAConfig, speech: jnp.ndarray, lengths: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """speech [B, T, 80], lengths [B] -> (features [B, T'', D], valid [B, T''])."""
+    feats, valid = whale.forward(params["audio"], cfg.audio, speech, lengths)
+    return projectors.audio_projector(params["audio_proj"], feats, valid)
+
+
+def merge_embeddings(
+    token_embeds: jnp.ndarray,  # [B, S, D]
+    image_mask: jnp.ndarray,  # [B, S] bool
+    audio_mask: jnp.ndarray,  # [B, S] bool
+    image_feats: Optional[jnp.ndarray] = None,  # [B, N_img, D] (padded)
+    audio_feats: Optional[jnp.ndarray] = None,  # [B, N_aud, D] (padded)
+) -> jnp.ndarray:
+    """Vectorized scatter of media features into placeholder slots.
+
+    The k-th True position (in sequence order) of each mask receives the
+    k-th feature row. Counts must line up (host guarantees via
+    expand_media_sentinels); excess mask positions clamp to the last
+    feature (never happens for well-formed inputs).
+    """
+    out = token_embeds
+    for mask, feats in ((image_mask, image_feats), (audio_mask, audio_feats)):
+        if feats is None:
+            continue
+        idx = jnp.cumsum(mask, axis=1) - 1  # [B, S]
+        idx = jnp.clip(idx, 0, feats.shape[1] - 1)
+        gathered = jnp.take_along_axis(feats, idx[..., None], axis=1).astype(out.dtype)
+        out = jnp.where(mask[..., None], gathered, out)
+    return out
+
+
+def build_labels(
+    input_ids: jnp.ndarray,
+    media_mask: jnp.ndarray,
+    answer_mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """Next-token labels: IGNORE at media slots and non-answer positions
+    (prompt/padding), else the token id (vita_arch.py:279-321 semantics)."""
+    keep = answer_mask & ~media_mask
+    return jnp.where(keep, input_ids, IGNORE_INDEX)
+
+
+def forward(
+    params: Params,
+    cfg: VITAConfig,
+    input_ids: jnp.ndarray,  # [B, S] sentinel-free ids (0 at media slots)
+    image_mask: Optional[jnp.ndarray] = None,  # [B, S]
+    audio_mask: Optional[jnp.ndarray] = None,
+    images: Optional[jnp.ndarray] = None,  # [N_tiles_total, H, W, 3], batch-major
+    tiles_per_sample: Optional[int] = None,  # static tiles per batch row
+    speech: Optional[jnp.ndarray] = None,  # [B, T, 80]
+    speech_lengths: Optional[jnp.ndarray] = None,  # [B]
+    attn_valid: Optional[jnp.ndarray] = None,  # [B, S_kv]
+    cache: Optional[Params] = None,
+    token_mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, Optional[Params], jnp.ndarray]:
+    """Full multimodal forward. Returns (logits, new_cache, moe_aux)."""
+    b, s = input_ids.shape
+    embeds = jnp.take(params["llm"]["embed"], input_ids, axis=0)
+
+    image_feats = audio_feats = None
+    if images is not None:
+        tps = tiles_per_sample or (images.shape[0] // b)
+        feats = encode_images(params, cfg, images)  # [N, 256, D]
+        image_feats = feats.reshape(b, tps * feats.shape[1], -1)
+    if speech is not None:
+        audio_feats, _ = encode_audio(params, cfg, speech, speech_lengths)
+
+    if image_mask is None:
+        image_mask = jnp.zeros((b, s), bool)
+    if audio_mask is None:
+        audio_mask = jnp.zeros((b, s), bool)
+    embeds = merge_embeddings(embeds, image_mask, audio_mask, image_feats, audio_feats)
+
+    return mixtral.forward(
+        params["llm"], cfg.llm,
+        inputs_embeds=embeds, attn_valid=attn_valid, cache=cache,
+        token_mask=token_mask,
+    )
