@@ -1,0 +1,156 @@
+"""Data pipeline: preprocess goldens, dataset loading, collation, sampler."""
+
+import json
+import pathlib
+import random
+
+import numpy as np
+import pytest
+
+from vita_tpu.constants import (
+    AUDIO_TOKEN_INDEX,
+    IGNORE_INDEX,
+    IMAGE_TOKEN_INDEX,
+    IMAGE_TOKENS_PER_PATCH,
+)
+from vita_tpu.data.dataset import (
+    Collator,
+    ConversationDataset,
+    DataArgs,
+    DatasetSpec,
+    expand_sample,
+    modality_grouped_indices,
+)
+from vita_tpu.data.preprocess import build_training_sample, normalize_media_tokens
+
+GOLDEN = json.loads(
+    (pathlib.Path(__file__).parent / "goldens" / "preprocess.json").read_text()
+)
+
+BOS, EOS, PAD = 1, 2, 0
+
+
+def sp_encode(s):
+    # The deterministic SP-like tokenizer used to generate the goldens.
+    return [BOS] + [
+        777 if t == "</s>" else 100 + (sum(map(ord, t)) % 3000)
+        for t in s.replace("</s>", " </s> ").split()
+    ]
+
+
+@pytest.mark.parametrize("case", GOLDEN, ids=[c["modality"] + str(i) for i, c in enumerate(GOLDEN)])
+def test_preprocess_golden(case):
+    """ids + labels byte-match the reference's preprocess_multimodal +
+    preprocess_mixtral_two output."""
+    mm = case["mmargs"]
+    if mm is not None:
+        norm = normalize_media_tokens(
+            case["turns"], mm["image_token_num"], mm["patch_num"], mm["inserted_id"]
+        )
+    else:
+        norm = normalize_media_tokens(case["turns"])
+    assert [t["value"] for t in norm] == case["norm_values"]
+    ids, labels = build_training_sample(
+        norm, sp_encode, case["modality"],
+        has_media=case["has_image"] or case["has_audio"],
+        bos_id=BOS, eos_id=EOS, pad_id=PAD,
+    )
+    assert ids.tolist() == case["input_ids"]
+    assert labels.tolist() == case["labels"]
+
+
+def test_state_token_rules():
+    turns = [
+        {"from": "human", "value": "<audio>"},
+        {"from": "gpt", "value": "a"},
+        {"from": "human", "value": "text q"},
+        {"from": "gpt", "value": "b"},
+    ]
+    norm = normalize_media_tokens(turns)
+    assert norm[1]["value"].startswith("<1>")  # after audio query
+    assert norm[3]["value"].startswith("<3>")  # after text query
+    norm = normalize_media_tokens(turns, inserted_id=1)
+    assert norm[1]["value"].startswith("<2>")  # injected negative
+
+
+def test_trailing_image_moves_front():
+    turns = [{"from": "human", "value": "what is this\n<image>"}, {"from": "gpt", "value": "x"}]
+    norm = normalize_media_tokens(turns, patch_nums=[2])
+    assert norm[0]["value"].startswith("<image><image>\n")
+
+
+def test_video_frame_clamp():
+    turns = [{"from": "human", "value": "<image>" * 30 + "\nq"}, {"from": "gpt", "value": "x"}]
+    norm = normalize_media_tokens(turns, patch_nums=[1] * 30)
+    assert norm[0]["value"].count("<image>") == 16  # MAX_IMAGE_LENGTH
+
+
+def test_expand_sample():
+    ids = np.array([1, IMAGE_TOKEN_INDEX, 5, AUDIO_TOKEN_INDEX, 6])
+    labels = np.array([IGNORE_INDEX, IGNORE_INDEX, 5, IGNORE_INDEX, 6])
+    e_ids, e_lab = expand_sample(ids, labels, image_slots=3, audio_slots=2)
+    assert e_ids.tolist() == [1] + [IMAGE_TOKEN_INDEX] * 3 + [5] + [AUDIO_TOKEN_INDEX] * 2 + [6]
+    assert e_lab.tolist() == [IGNORE_INDEX] * 4 + [5] + [IGNORE_INDEX] * 2 + [6]
+
+
+@pytest.fixture()
+def tmp_dataset(tmp_path):
+    from PIL import Image
+
+    img_path = tmp_path / "img.png"
+    Image.fromarray(np.zeros((100, 200, 3), np.uint8)).save(img_path)
+    data = [
+        {
+            "conversations": [
+                {"from": "human", "value": "<image>\nwhat"},
+                {"from": "gpt", "value": "thing"},
+            ],
+            "image": str(img_path),
+        },
+        {
+            "conversations": [
+                {"from": "human", "value": "hello"},
+                {"from": "gpt", "value": "world"},
+            ]
+        },
+    ]
+    chat = tmp_path / "chat.json"
+    chat.write_text(json.dumps(data))
+    return chat
+
+
+def test_dataset_and_collator(tmp_dataset):
+    ds = ConversationDataset(
+        [DatasetSpec(str(tmp_dataset))], sp_encode, BOS, EOS, pad_id=PAD,
+        args=DataArgs(image_size=56, max_patches=2, use_thumbnail=False),
+    )
+    assert len(ds) == 2
+    samples = [ds[i] for i in range(2)]
+    mm = next(s for s in samples if s["modality"] == "image")
+    lang = next(s for s in samples if s["modality"] == "lang")
+    # image sample has 256 slots per tile
+    n_img_slots = int((mm["input_ids"] == IMAGE_TOKEN_INDEX).sum())
+    assert n_img_slots == mm["images"].shape[0] * IMAGE_TOKENS_PER_PATCH
+    # lang sample carries dummy media but no sentinel slots
+    assert int((lang["input_ids"] == IMAGE_TOKEN_INDEX).sum()) == 0
+    assert lang["images"].shape[0] == 1
+
+    batch = Collator(pad_id=PAD, buckets=(1024,))(samples)
+    assert batch["input_ids"].shape == (2, 1024)
+    assert batch["input_ids"].min() >= 0  # sentinels stripped
+    assert batch["image_mask"].sum() == n_img_slots
+    assert batch["images"].shape[0] == 2 * max(s["images"].shape[0] for s in samples)
+    assert batch["labels"].shape == (2, 1024)
+    assert (batch["labels"][~batch["attn_valid"]] == IGNORE_INDEX).all()
+
+
+def test_modality_grouped_indices():
+    lengths = [10, -5, 20, -8, 30, 15, -3, -9, 12, 25]
+    idx = modality_grouped_indices(lengths, batch_size=2, rng=random.Random(0))
+    assert sorted(idx) == list(range(10))
+    # full batches are modality-pure
+    for i in range(0, 8, 2):
+        pair = idx[i : i + 2]
+        signs = {lengths[j] > 0 for j in pair}
+        if len(pair) == 2 and i + 2 <= len(idx) - (len(idx) % 2):
+            assert len(signs) == 1, (pair, [lengths[j] for j in pair])

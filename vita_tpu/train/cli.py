@@ -1,0 +1,107 @@
+"""Training entrypoint: `python -m vita_tpu.train.cli`.
+
+Parity surface for the reference's train() launcher (vita/train/train.py:
+205-404 + script/train/*.sh): stage presets, freeze flags, dataset specs,
+resume, checkpointing.
+
+Example (smoke run, random tiny model, byte tokenizer):
+  python -m vita_tpu.train.cli --model tiny-random --stage finetune \
+      --data chat.json --output-dir /tmp/run --batch-size 2 --epochs 1
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from typing import List, Optional
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    p = argparse.ArgumentParser(description="VITA-TPU trainer")
+    p.add_argument("--model", required=True, help="checkpoint dir or 'tiny-random'")
+    p.add_argument("--data", required=True, nargs="+", help="conversation JSON path(s)")
+    p.add_argument("--data-ratio", type=float, default=1.0)
+    p.add_argument("--output-dir", required=True)
+    p.add_argument(
+        "--stage",
+        choices=["pretrain_mlp", "finetune", "finetune_task"],
+        default="finetune",
+    )
+    p.add_argument("--learning-rate", type=float, default=None)
+    p.add_argument("--projector-lr", type=float, default=None)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--epochs", type=int, default=1)
+    p.add_argument("--save-every", type=int, default=500)
+    p.add_argument("--model-max-length", type=int, default=8192)
+    p.add_argument("--max-patches", type=int, default=12)
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--mesh", type=int, nargs=4, default=None,
+                   help="mesh shape: data fsdp expert model")
+    args = p.parse_args(argv)
+
+    import jax
+
+    from vita_tpu.data.dataset import Collator, ConversationDataset, DataArgs, DatasetSpec
+    from vita_tpu.models import vita
+    from vita_tpu.parallel.mesh import make_mesh
+    from vita_tpu.train.step import TrainConfig
+    from vita_tpu.train.trainer import RunConfig, Trainer
+
+    if args.model == "tiny-random":
+        cfg = vita.VITAConfig.tiny()
+        params = vita.init_params(jax.random.PRNGKey(0), cfg)
+
+        from vita_tpu.cli import ByteTokenizer
+
+        tok = ByteTokenizer()
+        encode, bos_id, eos_id, pad_id = tok.encode, tok.bos_id, tok.eos_id, 0
+    else:
+        from vita_tpu.checkpoint import load_vita_checkpoint
+        from vita_tpu.cli import load_hf_tokenizer
+
+        cfg, params = load_vita_checkpoint(args.model)
+        hf_tok = load_hf_tokenizer(args.model)
+        encode = lambda s: hf_tok(s).input_ids
+        bos_id, eos_id = hf_tok.bos_token_id, hf_tok.eos_token_id
+        pad_id = hf_tok.pad_token_id
+
+    stage = {
+        "pretrain_mlp": TrainConfig.stage1_pretrain_mlp,
+        "finetune": TrainConfig.stage2_finetune,
+        "finetune_task": TrainConfig.stage3_task,
+    }[args.stage]()
+    if args.learning_rate is not None:
+        stage = type(stage)(**{**stage.__dict__, "learning_rate": args.learning_rate})
+    if args.projector_lr is not None:
+        stage = type(stage)(**{**stage.__dict__, "projector_lr": args.projector_lr})
+
+    ds = ConversationDataset(
+        [DatasetSpec(d, args.data_ratio) for d in args.data],
+        encode, bos_id, eos_id, pad_id=pad_id,
+        args=DataArgs(
+            image_size=cfg.vision.image_size,
+            max_patches=args.max_patches,
+            model_max_length=args.model_max_length,
+            use_thumbnail=cfg.vision.image_size >= 448,
+        ),
+    )
+    print(f"[data] {len(ds)} samples from {len(args.data)} file(s)")
+
+    mesh = make_mesh(shape=args.mesh) if args.mesh else None
+    run = RunConfig(
+        output_dir=args.output_dir,
+        batch_size=args.batch_size,
+        num_epochs=args.epochs,
+        save_every_steps=args.save_every,
+        resume=not args.no_resume,
+    )
+    trainer = Trainer(cfg, stage, run, params, mesh=mesh)
+    log = trainer.train(ds, Collator(pad_id=pad_id or 0))
+    trainer.save()
+    if log:
+        print(f"[done] {len(log)} steps, final loss {log[-1]['loss']:.4f}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -101,8 +101,13 @@ def make_optimizer(tc: TrainConfig, params) -> optax.GradientTransformation:
             {"base": base, "projector": adamw(tc.projector_lr)},
             lr_group_labels(params),
         )
+    mask = trainable_mask(params, tc)
+    inv_mask = jax.tree.map(lambda m: not m, mask)
+    # masked() passes non-selected leaves through untouched, so frozen
+    # params must additionally have their updates zeroed.
     return optax.chain(
-        optax.masked(opt, trainable_mask(params, tc)),
+        optax.masked(opt, mask),
+        optax.masked(optax.set_to_zero(), inv_mask),
     )
 
 

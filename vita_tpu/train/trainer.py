@@ -1,0 +1,162 @@
+"""Training loop: batching, sharded steps, checkpointing, resume, logging.
+
+The TPU-native replacement for the reference's HF-Trainer + DeepSpeed stack
+(vita/train/train.py:205-404, vita_trainer.py:155-341): one jitted train
+step over the 4-axis mesh; orbax checkpoints of {params, opt_state, step};
+auto-resume from the latest step (train.py:384-387 semantics);
+modality-grouped batch order; per-step loss logging (logging_steps 1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import random
+import time
+from typing import Any, Callable, Dict, Iterable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vita_tpu.data.dataset import Collator, modality_grouped_indices
+from vita_tpu.models import vita
+from vita_tpu.train.step import TrainConfig, make_optimizer, make_train_step
+
+
+@dataclasses.dataclass
+class RunConfig:
+    output_dir: str
+    batch_size: int = 8
+    num_epochs: int = 1
+    save_every_steps: int = 500
+    keep_checkpoints: int = 2  # save_total_limit 2
+    log_every: int = 1
+    seed: int = 42
+    resume: bool = True
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: vita.VITAConfig,
+        tc: TrainConfig,
+        run: RunConfig,
+        params,
+        mesh=None,
+    ):
+        self.cfg, self.tc, self.run = cfg, tc, run
+        self.optimizer = make_optimizer(tc, params)
+        self.mesh = mesh
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+
+            specs = vita.param_specs(cfg)
+            params = jax.tree.map(
+                lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+            )
+        self.params = params
+        self.opt_state = self.optimizer.init(params)
+        self.step_fn = jax.jit(make_train_step(cfg, tc, self.optimizer))
+        self.step = 0
+        self.metrics_log: List[Dict[str, float]] = []
+
+        if run.resume:
+            self._maybe_resume()
+
+    # -- checkpointing ----------------------------------------------------
+    def _ckpt_dir(self) -> str:
+        return os.path.join(self.run.output_dir, "ckpt")
+
+    def _maybe_resume(self) -> None:
+        from vita_tpu.checkpoint import latest_step, load_checkpoint
+
+        last = latest_step(self._ckpt_dir())
+        if last is None:
+            return
+        state = load_checkpoint(
+            self._ckpt_dir(), last,
+            target={"params": self.params, "opt_state": self.opt_state},
+        )
+        self.params = state["params"]
+        self.opt_state = state["opt_state"]
+        self.step = last
+        print(f"[trainer] resumed from step {last}")
+
+    def save(self) -> None:
+        from vita_tpu.checkpoint import save_checkpoint
+
+        save_checkpoint(
+            self._ckpt_dir(),
+            {"params": self.params, "opt_state": self.opt_state},
+            step=self.step,
+        )
+        self._prune_checkpoints()
+
+    def _prune_checkpoints(self) -> None:
+        d = self._ckpt_dir()
+        if not os.path.isdir(d):
+            return
+        steps = sorted(
+            int(x.split("_", 1)[1]) for x in os.listdir(d) if x.startswith("step_")
+        )
+        for s in steps[: -self.run.keep_checkpoints]:
+            import shutil
+
+            shutil.rmtree(os.path.join(d, f"step_{s}"), ignore_errors=True)
+
+    def save_trainable_only(self, name: str = "adapters") -> None:
+        """Stage-1-style adapter-only checkpoint (vita_trainer.py:285-311):
+        persist just the trainable components (e.g. mm projector)."""
+        from vita_tpu.checkpoint import save_checkpoint
+        from vita_tpu.train.step import trainable_mask
+
+        mask = trainable_mask(self.params, self.tc)
+        subset = {
+            k: v for k, v in self.params.items()
+            if jax.tree.leaves(mask[k]) and jax.tree.leaves(mask[k])[0]
+        }
+        save_checkpoint(
+            os.path.join(self.run.output_dir, name), subset, step=self.step
+        )
+
+    # -- data -------------------------------------------------------------
+    def batches(self, dataset, collator: Collator) -> Iterable[Dict[str, np.ndarray]]:
+        rng = random.Random(self.run.seed + self.step)
+        order = modality_grouped_indices(
+            dataset.modality_lengths(), self.run.batch_size, rng
+        )
+        bs = self.run.batch_size
+        for i in range(0, len(order) - bs + 1, bs):
+            yield collator([dataset[j] for j in order[i : i + bs]])
+
+    # -- loop -------------------------------------------------------------
+    def train(self, dataset, collator: Optional[Collator] = None) -> List[Dict[str, float]]:
+        collator = collator or Collator(pad_id=0)
+        for epoch in range(self.run.num_epochs):
+            for batch in self.batches(dataset, collator):
+                t0 = time.time()
+                jbatch = {
+                    k: jnp.asarray(v) for k, v in batch.items() if k != "tiles_per_sample"
+                }
+                self.params, self.opt_state, metrics = self.step_fn(
+                    self.params, self.opt_state, jbatch
+                )
+                self.step += 1
+                if self.step % self.run.log_every == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    m.update(step=self.step, epoch=epoch, step_time=time.time() - t0)
+                    self.metrics_log.append(m)
+                    print(
+                        f"[step {self.step}] loss={m['loss']:.4f} ce={m['ce']:.4f} "
+                        f"aux={m['aux']:.4f} ({m['step_time']:.2f}s)"
+                    )
+                if self.step % self.run.save_every_steps == 0:
+                    self.save()
+        os.makedirs(self.run.output_dir, exist_ok=True)
+        with open(os.path.join(self.run.output_dir, "metrics.jsonl"), "a") as f:
+            for m in self.metrics_log:
+                f.write(json.dumps(m) + "\n")
+        return self.metrics_log
