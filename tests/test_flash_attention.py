@@ -1,0 +1,123 @@
+"""Flash attention vs the XLA reference implementation (fwd + grads).
+
+Runs in Pallas interpret mode on CPU (tests) — the same kernel compiles
+natively on TPU.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from vita_tpu.ops.attention import causal_mask_bias, mha_xla, padding_mask_bias
+from vita_tpu.ops.flash_attention import flash_mha
+
+
+def _rand(shape, key, dtype=jnp.float32):
+    return jax.random.normal(jax.random.PRNGKey(key), shape, dtype)
+
+
+def _ref(q, k, v, kv_len=None, causal=False, q_offset=0):
+    bias = 0.0
+    if causal:
+        bias = causal_mask_bias(q.shape[1], k.shape[1], q_offset)
+    if kv_len is not None:
+        valid = jnp.arange(k.shape[1])[None, :] < kv_len[:, None]
+        bias = bias + padding_mask_bias(valid)
+    return mha_xla(q, k, v, bias=None if isinstance(bias, float) else bias)
+
+
+def _flash(*args, **kw):
+    with pltpu.force_tpu_interpret_mode():
+        return flash_mha(*args, **kw)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_matches_xla(causal):
+    b, s, h, d = 2, 256, 4, 64
+    q, k, v = _rand((b, s, h, d), 0), _rand((b, s, h, d), 1), _rand((b, s, h, d), 2)
+    out = _flash(q, k, v, causal=causal, block_q=128, block_k=128)
+    ref = _ref(q, k, v, causal=causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_flash_gqa():
+    b, s, hq, hkv, d = 1, 128, 8, 2, 32
+    q = _rand((b, s, hq, d), 0)
+    k = _rand((b, s, hkv, d), 1)
+    v = _rand((b, s, hkv, d), 2)
+    out = _flash(q, k, v, causal=True, block_q=64, block_k=64)
+    ref = _ref(q, jnp.repeat(k, 4, 2), jnp.repeat(v, 4, 2), causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_flash_padding():
+    b, s, h, d = 2, 192, 2, 32
+    q, k, v = _rand((b, s, h, d), 3), _rand((b, s, h, d), 4), _rand((b, s, h, d), 5)
+    kv_len = jnp.array([192, 70])
+    out = _flash(q, k, v, kv_len=kv_len, causal=True, block_q=64, block_k=64)
+    ref = _ref(q, k, v, kv_len=kv_len, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_flash_uneven_blocks():
+    """Sequence not divisible by block size (tail masking via kv_len)."""
+    b, s, h, d = 1, 160, 2, 32
+    q, k, v = _rand((b, s, h, d), 6), _rand((b, s, h, d), 7), _rand((b, s, h, d), 8)
+    out = _flash(q, k, v, kv_len=jnp.array([s]), causal=False, block_q=64, block_k=64)
+    ref = _ref(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_flash_decode_offset():
+    """Single-query decode against a longer KV with q_offset."""
+    b, h, d, skv = 1, 4, 32, 128
+    q = _rand((b, 1, h, d), 9)
+    k, v = _rand((b, skv, h, d), 10), _rand((b, skv, h, d), 11)
+    pos = 57
+    out = _flash(q, k, v, kv_len=jnp.array([pos + 1]), q_offset=pos,
+                 causal=True, block_q=8, block_k=64)
+    ref = _ref(q, k, v, kv_len=jnp.array([pos + 1]), causal=True, q_offset=pos)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_gradients(causal):
+    b, s, h, d = 1, 128, 2, 32
+    q, k, v = _rand((b, s, h, d), 12), _rand((b, s, h, d), 13), _rand((b, s, h, d), 14)
+    kv_len = jnp.array([100])
+
+    def loss_flash(q, k, v):
+        o = flash_mha(q, k, v, kv_len=kv_len, causal=causal, block_q=64, block_k=64)
+        return jnp.sum(o * jnp.cos(o))
+
+    def loss_ref(q, k, v):
+        o = _ref(q, k, v, kv_len=kv_len, causal=causal)
+        return jnp.sum(o * jnp.cos(o))
+
+    with pltpu.force_tpu_interpret_mode():
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=5e-3, atol=5e-3)
+
+
+def test_flash_gqa_gradients():
+    b, s, hq, hkv, d = 1, 64, 4, 2, 32
+    q = _rand((b, s, hq, d), 15)
+    k, v = _rand((b, s, hkv, d), 16), _rand((b, s, hkv, d), 17)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_mha(q, k, v, causal=True, block_q=32, block_k=32) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_ref(q, jnp.repeat(k, 2, 2), jnp.repeat(v, 2, 2), causal=True) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=5e-3, atol=5e-3)

@@ -1,0 +1,204 @@
+"""Serving: continuous batching parity, cancellation, duplex protocol, VAD."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from vita_tpu.generate import GenerationConfig, Generator
+from vita_tpu.models import vita
+from vita_tpu.serve.duplex import DuplexConfig, DuplexController
+from vita_tpu.serve.engine import Engine, Request
+from vita_tpu.serve.vad import CHUNK_SAMPLES, SAMPLE_RATE, StreamingVAD, VADConfig
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = vita.VITAConfig.tiny()
+    params = vita.init_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def test_engine_matches_generator(tiny):
+    """Greedy engine output must equal the plain Generator path."""
+    cfg, params = tiny
+    prompt = np.array([1, 50, 60, 70], np.int32)
+
+    gen = Generator(params, cfg, max_len=64)
+    want = gen.generate(prompt, gen=GenerationConfig(max_new_tokens=6, eos_id=-1))
+
+    eng = Engine(params, cfg, n_slots=2, max_len=64)
+    req = Request(input_ids=prompt, max_new_tokens=6, eos_id=-1)
+    eng.submit(req)
+    eng.run_until_idle()
+    assert req.tokens == want
+
+
+def test_engine_concurrent_requests_match_sequential(tiny):
+    """Two interleaved requests produce the same tokens as run alone."""
+    cfg, params = tiny
+    p1 = np.array([1, 11, 12], np.int32)
+    p2 = np.array([1, 91, 92, 93, 94], np.int32)
+
+    solo = {}
+    for name, p in (("a", p1), ("b", p2)):
+        e = Engine(params, cfg, n_slots=1, max_len=64)
+        r = Request(input_ids=p, max_new_tokens=5, eos_id=-1)
+        e.submit(r)
+        e.run_until_idle()
+        solo[name] = r.tokens
+
+    eng = Engine(params, cfg, n_slots=2, max_len=64)
+    r1 = Request(input_ids=p1, max_new_tokens=5, eos_id=-1)
+    r2 = Request(input_ids=p2, max_new_tokens=5, eos_id=-1)
+    eng.submit(r1)
+    eng.step()  # r1 admitted + first token
+    eng.submit(r2)  # r2 joins mid-flight
+    eng.run_until_idle()
+    assert r1.tokens == solo["a"]
+    assert r2.tokens == solo["b"]
+
+
+def test_engine_cancellation(tiny):
+    cfg, params = tiny
+    eng = Engine(params, cfg, n_slots=1, max_len=64)
+    reasons = []
+    req = Request(
+        input_ids=np.array([1, 5], np.int32), max_new_tokens=50, eos_id=-1,
+        on_finish=lambda toks, r: reasons.append(r),
+    )
+    eng.submit(req)
+    eng.step()
+    eng.step()
+    req.cancel()
+    eng.step()
+    assert reasons == ["cancelled"]
+    assert eng.active_count() == 0
+    assert len(req.tokens) <= 4
+
+
+def test_engine_capacity_guard(tiny):
+    cfg, params = tiny
+    eng = Engine(params, cfg, n_slots=1, max_len=16)
+    with pytest.raises(ValueError, match="cache holds"):
+        eng.submit(Request(input_ids=np.arange(1, 10, dtype=np.int32), max_new_tokens=20))
+
+
+# ---------------------------------------------------------------------------
+# duplex protocol with scripted fake engines
+# ---------------------------------------------------------------------------
+class FakeEngine:
+    """Engine stand-in: scripted token streams per request."""
+
+    def __init__(self):
+        self.pending = []
+        self.cancelled_all = 0
+
+    def submit(self, req):
+        self.pending.append(req)
+        return req
+
+    def cancel_all(self):
+        self.cancelled_all += 1
+        for r in self.pending:
+            r.cancel()
+        self.pending = []
+
+    def feed(self, req, tokens, finish="eos"):
+        for t in tokens:
+            if req.cancelled:
+                break
+            req.on_token(t)
+        if req.on_finish:
+            req.on_finish(tokens, "cancelled" if req.cancelled else finish)
+
+
+def byte_decode(ids):
+    return bytes(t - 3 for t in ids if 3 <= t < 259).decode(errors="ignore")
+
+
+def enc(s):
+    return [b + 3 for b in s.encode()]
+
+
+def test_duplex_noise_rejection():
+    e0, e1 = FakeEngine(), FakeEngine()
+    texts, tts = [], []
+    ctl = DuplexController([e0, e1], byte_decode, texts.append, tts.append)
+    req = Request(input_ids=np.array([1]), max_new_tokens=10)
+    ctl.submit_query(req)
+    assert e1.pending  # monitor is engine 1 (generator_idx 0)
+    e1.feed(req, enc("<2>background chatter"))
+    assert ctl.rejected_noise == 1
+    assert ctl.generator_idx == 0  # no swap
+    assert req.cancelled
+    assert texts == [] and tts == []
+
+
+def test_duplex_interrupt_and_role_swap():
+    e0, e1 = FakeEngine(), FakeEngine()
+    texts, tts = [], []
+    ctl = DuplexController([e0, e1], byte_decode, texts.append, tts.append)
+
+    # first real query -> monitor (e1) answers, roles swap to e1
+    r1 = ctl.submit_query(Request(input_ids=np.array([1]), max_new_tokens=99))
+    e1.feed(r1, enc("<1>Hello there. More text"), finish="eos")
+    assert ctl.generator_idx == 1
+    assert "".join(texts).startswith("Hello there.")
+    assert tts and tts[0].strip() == "Hello there."
+
+    # second query while r1 is 'speaking' -> goes to monitor (e0);
+    # promotion cancels r1 and swaps back
+    r2 = ctl.submit_query(Request(input_ids=np.array([1]), max_new_tokens=99))
+    assert e0.pending
+    e0.feed(r2, enc("<1>New answer here. Done."), finish="eos")
+    assert r1.cancelled
+    assert ctl.generator_idx == 0
+    assert ctl.interrupts == 1
+    assert "New answer here. Done." in "".join(texts)
+
+
+def test_duplex_flushes_tail_tts():
+    e0, e1 = FakeEngine(), FakeEngine()
+    tts = []
+    ctl = DuplexController([e0, e1], byte_decode, on_tts=tts.append)
+    r = ctl.submit_query(Request(input_ids=np.array([1]), max_new_tokens=99))
+    e1.feed(r, enc("<3>no punctuation tail"), finish="eos")
+    assert tts == ["no punctuation tail"]
+
+
+# ---------------------------------------------------------------------------
+# VAD
+# ---------------------------------------------------------------------------
+def _speechlike(n_chunks, freq=180.0, level=0.25):
+    t = np.arange(n_chunks * CHUNK_SAMPLES) / SAMPLE_RATE
+    sig = level * np.sin(2 * np.pi * freq * t) * (1 + 0.3 * np.sin(2 * np.pi * 3 * t))
+    return sig.astype(np.float32).reshape(n_chunks, CHUNK_SAMPLES)
+
+
+def test_vad_segments_speech():
+    vad = StreamingVAD(VADConfig(min_dialog_s=0.5))
+    silence = np.zeros((8, CHUNK_SAMPLES), np.float32)
+    speech = _speechlike(8)
+    segs = []
+    for chunk in [*silence, *speech, *silence]:
+        out = vad.process(chunk)
+        if out is not None:
+            segs.append(out)
+    assert len(segs) == 1
+    assert len(segs[0]) >= 8 * CHUNK_SAMPLES  # speech + padding
+
+
+def test_vad_drops_short_dialogs():
+    vad = StreamingVAD(VADConfig(min_dialog_s=5.0))
+    speech = _speechlike(4)  # ~1 s << 5 s minimum
+    silence = np.zeros((8, CHUNK_SAMPLES), np.float32)
+    segs = [vad.process(c) for c in [*speech, *silence]]
+    assert all(s is None for s in segs)
+
+
+def test_vad_ignores_silence():
+    vad = StreamingVAD()
+    for c in np.zeros((20, CHUNK_SAMPLES), np.float32):
+        assert vad.process(c) is None
+    assert not vad.in_speech

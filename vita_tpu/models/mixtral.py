@@ -141,12 +141,15 @@ def param_specs(cfg: MixtralConfig) -> Params:
 def init_kv_cache(
     cfg: MixtralConfig, batch: int, max_len: int, dtype=None
 ) -> Params:
+    """Static KV cache. ``pos`` is per-slot [B] so independent sequences can
+    sit at different depths (continuous batching); uniform-batch callers
+    simply see all-equal positions."""
     dt = dtype or cfg.dtype
     shape = (cfg.n_layers, batch, max_len, cfg.n_kv_heads, cfg.head_dim)
     return {
         "k": jnp.zeros(shape, dt),
         "v": jnp.zeros(shape, dt),
-        "pos": jnp.zeros((), jnp.int32),
+        "pos": jnp.zeros((batch,), jnp.int32),
     }
 
 
@@ -154,7 +157,7 @@ def kv_cache_specs(cfg: MixtralConfig) -> Params:
     return {
         "k": P(None, ("data", "fsdp"), None, "model", None),
         "v": P(None, ("data", "fsdp"), None, "model", None),
-        "pos": P(),
+        "pos": P(("data", "fsdp")),
     }
 
 
@@ -177,8 +180,12 @@ def _attention_block(
     q, k = apply_rope(q, k, positions, cfg.rope_theta)
 
     if layer_k is not None:
-        k_all = jax.lax.dynamic_update_slice(layer_k, k.astype(layer_k.dtype), (0, cache_pos, 0, 0))
-        v_all = jax.lax.dynamic_update_slice(layer_v, v.astype(layer_v.dtype), (0, cache_pos, 0, 0))
+        # per-slot write offsets (cache_pos is [B]): vectorized scatter —
+        # out-of-range writes are dropped by XLA scatter semantics.
+        b_idx = jnp.arange(b)[:, None]
+        s_idx = cache_pos[:, None] + jnp.arange(s)[None, :]
+        k_all = layer_k.at[b_idx, s_idx].set(k.astype(layer_k.dtype), mode="drop")
+        v_all = layer_v.at[b_idx, s_idx].set(v.astype(layer_v.dtype), mode="drop")
         kv_positions = jnp.arange(k_all.shape[1])[None, :]
         new_k, new_v = k_all, v_all
     else:
@@ -211,9 +218,8 @@ def forward(
         inputs_embeds = jnp.take(params["embed"], input_ids, axis=0)
     b, s, d = inputs_embeds.shape
     if positions is None:
-        base = cache["pos"] if cache is not None else 0
-        positions = jnp.arange(s)[None, :] + base
-        positions = jnp.broadcast_to(positions, (b, s))
+        base = cache["pos"][:, None] if cache is not None else 0
+        positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s)) + base
     if attn_valid is None:
         kv_len = cache["k"].shape[2] if cache is not None else s
         attn_valid = jnp.ones((b, kv_len), bool)

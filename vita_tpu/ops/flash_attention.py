@@ -1,0 +1,410 @@
+"""Pallas TPU flash attention: blocked online-softmax, fwd + bwd.
+
+Replaces the reference's external flash-attn 2 CUDA dependency
+(vita/train/train.py:261, internvit/flash_attention.py) with a TPU-native
+kernel: O(S) memory (no [S, S] score materialization), fp32 accumulators,
+bf16-friendly, GQA via head repetition outside the kernel.
+
+Supported masking: ``causal`` (with ``q_offset`` for decode against a
+longer KV) and per-batch ``kv_len`` padding. This covers every attention
+pattern in the framework (LLM causal+padding, Whale/ViT bidirectional
++padding) without streaming a full bias tensor from HBM.
+
+Layout: kernel works on [B*H, S, D]; the public API takes [B, S, H, D]
+like ops.attention.mha. Grid is (bh, q_block, kv_block) with the kv axis
+innermost-sequential, accumulating into VMEM scratch (flash-2 style).
+
+Backward follows the flash-2 formulation: fwd saves per-row logsumexp;
+bwd recomputes block scores, with delta = rowsum(do * o):
+    p  = exp(s - lse);  dv += p^T do;  ds = p * (dp - delta)
+    dk += ds^T q;       dq += ds k
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 512
+
+
+def _blocks(n: int, b: int) -> int:
+    return (n + b - 1) // b
+
+
+# ----------------------------------------------------------------------
+# forward
+# ----------------------------------------------------------------------
+def _fwd_kernel(
+    kv_len_ref,  # SMEM [BH] valid kv length per bh row
+    q_off_ref,  # SMEM [1] absolute position of q row 0
+    q_ref,  # [1, bq, D]
+    k_ref,  # [1, bk, D]
+    v_ref,  # [1, bk, D]
+    o_ref,  # [1, bq, D]
+    lse_ref,  # [1, bq]
+    acc_ref,  # scratch [bq, D] f32
+    m_ref,  # scratch [bq, 1] f32
+    l_ref,  # scratch [bq, 1] f32
+    *,
+    causal: bool,
+    scale: float,
+    block_q: int,
+    block_k: int,
+):
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    bh = pl.program_id(0)
+    kv_len = kv_len_ref[bh]
+    q_off = q_off_ref[0]
+
+    q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + q_off
+    k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+
+    run_block = True
+    if causal:
+        # whole block is masked out when its first k exceeds the last q
+        run_block = (ki * block_k) <= (qi * block_q + block_q - 1 + q_off)
+
+    @pl.when(run_block)
+    def _compute():
+        q = q_ref[0]
+        k = k_ref[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # [bq, bk]
+
+        mask = k_pos < kv_len
+        if causal:
+            mask &= k_pos <= q_pos
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_ref[...]  # [bq, 1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)  # [bq, bk]
+        alpha = jnp.exp(m_prev - m_new)  # [bq, 1]
+        l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[...] = m_new
+
+    @pl.when(ki == nk - 1)
+    def _finish():
+        l = l_ref[...]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_ref[...] / l_safe).astype(o_ref.dtype)
+        lse = m_ref[...] + jnp.log(l_safe)
+        lse_row = jnp.where(l[:, 0] == 0.0, NEG_INF, lse[:, 0])  # [bq]
+        # lse lives as [bh, 8, sq] (sublane-tiled for TPU layout rules);
+        # row 0 carries the data, rows 1..7 are padding.
+        lse_ref[0] = jnp.broadcast_to(lse_row[None, :], (8, lse_row.shape[0]))
+
+
+def _flash_fwd(q, k, v, kv_len, q_offset, causal, scale, block_q, block_k):
+    bh, sq, d = q.shape
+    skv = k.shape[1]
+    block_q = min(block_q, sq)
+    block_k = min(block_k, skv)
+    grid = (bh, _blocks(sq, block_q), _blocks(skv, block_k))
+
+    kernel = functools.partial(
+        _fwd_kernel, causal=causal, scale=scale, block_q=block_q, block_k=block_k
+    )
+    o, lse = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda b, i, j, *_: (b, i, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b, i, j, *_: (b, j, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b, i, j, *_: (b, j, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_q, d), lambda b, i, j, *_: (b, i, 0)),
+                pl.BlockSpec((1, 8, block_q), lambda b, i, j, *_: (b, 0, i)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_q, d), jnp.float32),
+                pltpu.VMEM((block_q, 1), jnp.float32),
+                pltpu.VMEM((block_q, 1), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, 8, sq), jnp.float32),
+        ],
+    )(kv_len, q_offset, q, k, v)
+    return o, lse
+
+
+# ----------------------------------------------------------------------
+# backward
+# ----------------------------------------------------------------------
+def _bwd_dq_kernel(
+    kv_len_ref, q_off_ref,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dq_ref,
+    dq_acc,
+    *, causal, scale, block_q, block_k,
+):
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    bh = pl.program_id(0)
+    kv_len = kv_len_ref[bh]
+    q_off = q_off_ref[0]
+    q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + q_off
+    k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+
+    run_block = True
+    if causal:
+        run_block = (ki * block_k) <= (qi * block_q + block_q - 1 + q_off)
+
+    @pl.when(run_block)
+    def _compute():
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        mask = k_pos < kv_len
+        if causal:
+            mask &= k_pos <= q_pos
+        s = jnp.where(mask, s, NEG_INF)
+        p = jnp.exp(s - lse_ref[0, 0][:, None])  # [bq, bk]
+        dp = jax.lax.dot_general(
+            do_ref[0], v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta_ref[0, 0][:, None]) * scale
+        dq_acc[...] += jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(ki == nk - 1)
+    def _finish():
+        dq_ref[0] = dq_acc[...].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(
+    kv_len_ref, q_off_ref,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dk_ref, dv_ref,
+    dk_acc, dv_acc,
+    *, causal, scale, block_q, block_k,
+):
+    ki = pl.program_id(1)
+    qi = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    bh = pl.program_id(0)
+    kv_len = kv_len_ref[bh]
+    q_off = q_off_ref[0]
+    q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + q_off
+    k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+
+    run_block = True
+    if causal:
+        # skip q blocks entirely above the diagonal
+        run_block = (qi * block_q + block_q - 1 + q_off) >= (ki * block_k)
+
+    @pl.when(run_block)
+    def _compute():
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        mask = k_pos < kv_len
+        if causal:
+            mask &= k_pos <= q_pos
+        s = jnp.where(mask, s, NEG_INF)
+        p = jnp.exp(s - lse_ref[0, 0][:, None])  # [bq, bk]
+        do = do_ref[0]
+        dv_acc[...] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta_ref[0, 0][:, None]) * scale
+        dk_acc[...] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(qi == nq - 1)
+    def _finish():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _flash_bwd(res, g, causal, scale, block_q, block_k):
+    q, k, v, o, lse, kv_len, q_offset = res
+    do = g
+    bh, sq, d = q.shape
+    skv = k.shape[1]
+    bq = min(block_q, sq)
+    bk = min(block_k, skv)
+
+    delta_row = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    delta = jnp.broadcast_to(delta_row[:, None, :], (bh, 8, delta_row.shape[1]))
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _bwd_dq_kernel, causal=causal, scale=scale, block_q=bq, block_k=bk
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(bh, _blocks(sq, bq), _blocks(skv, bk)),
+            in_specs=[
+                pl.BlockSpec((1, bq, d), lambda b, i, j, *_: (b, i, 0)),
+                pl.BlockSpec((1, bk, d), lambda b, i, j, *_: (b, j, 0)),
+                pl.BlockSpec((1, bk, d), lambda b, i, j, *_: (b, j, 0)),
+                pl.BlockSpec((1, bq, d), lambda b, i, j, *_: (b, i, 0)),
+                pl.BlockSpec((1, 8, bq), lambda b, i, j, *_: (b, 0, i)),
+                pl.BlockSpec((1, 8, bq), lambda b, i, j, *_: (b, 0, i)),
+            ],
+            out_specs=[pl.BlockSpec((1, bq, d), lambda b, i, j, *_: (b, i, 0))],
+            scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((bh, sq, d), q.dtype)],
+    )(kv_len, q_offset, q, k, v, do, lse, delta)[0]
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_dkv_kernel, causal=causal, scale=scale, block_q=bq, block_k=bk
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(bh, _blocks(skv, bk), _blocks(sq, bq)),
+            in_specs=[
+                pl.BlockSpec((1, bq, d), lambda b, j, i, *_: (b, i, 0)),
+                pl.BlockSpec((1, bk, d), lambda b, j, i, *_: (b, j, 0)),
+                pl.BlockSpec((1, bk, d), lambda b, j, i, *_: (b, j, 0)),
+                pl.BlockSpec((1, bq, d), lambda b, j, i, *_: (b, i, 0)),
+                pl.BlockSpec((1, 8, bq), lambda b, j, i, *_: (b, 0, i)),
+                pl.BlockSpec((1, 8, bq), lambda b, j, i, *_: (b, 0, i)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, bk, d), lambda b, j, i, *_: (b, j, 0)),
+                pl.BlockSpec((1, bk, d), lambda b, j, i, *_: (b, j, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bk, d), jnp.float32),
+                pltpu.VMEM((bk, d), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, skv, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, skv, d), v.dtype),
+        ],
+    )(kv_len, q_offset, q, k, v, do, lse, delta)
+    return dq, dk, dv
+
+
+# ----------------------------------------------------------------------
+# public API
+# ----------------------------------------------------------------------
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8)
+)
+def _flash_core(q, k, v, kv_len, q_offset, causal, scale, block_q, block_k):
+    o, _ = _flash_fwd(q, k, v, kv_len, q_offset, causal, scale, block_q, block_k)
+    return o
+
+
+def _flash_core_fwd(q, k, v, kv_len, q_offset, causal, scale, block_q, block_k):
+    o, lse = _flash_fwd(q, k, v, kv_len, q_offset, causal, scale, block_q, block_k)
+    return o, (q, k, v, o, lse, kv_len, q_offset)
+
+
+def _flash_core_bwd(causal, scale, block_q, block_k, res, g):
+    dq, dk, dv = _flash_bwd(res, g, causal, scale, block_q, block_k)
+    return dq, dk, dv, None, None
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
+def flash_mha(
+    q: jnp.ndarray,  # [B, Sq, Hq, D]
+    k: jnp.ndarray,  # [B, Skv, Hkv, D]
+    v: jnp.ndarray,
+    kv_len: Optional[jnp.ndarray] = None,  # [B] valid kv lengths
+    q_offset: int | jnp.ndarray = 0,  # absolute position of q row 0
+    causal: bool = False,
+    scale: Optional[float] = None,
+    bias: None = None,  # API compat; arbitrary bias unsupported
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+) -> jnp.ndarray:
+    """Flash attention with GQA. Returns [B, Sq, Hq, D]."""
+    if bias is not None:
+        raise NotImplementedError(
+            "flash backend supports causal+kv_len masking, not arbitrary bias"
+        )
+    b, sq, hq, d = q.shape
+    hkv = k.shape[2]
+    skv = k.shape[1]
+    if hq != hkv:
+        rep = hq // hkv
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    scale = scale if scale is not None else d**-0.5
+
+    if kv_len is None:
+        kv_len = jnp.full((b,), skv, jnp.int32)
+    kv_len_bh = jnp.repeat(kv_len.astype(jnp.int32), hq)  # [B*H]
+    q_off = jnp.asarray(q_offset, jnp.int32).reshape(1)
+
+    # pad sequence dims to block multiples (k padding is masked via kv_len;
+    # padded q rows are sliced away below)
+    bq_eff = min(block_q, max(sq, 8))
+    bk_eff = min(block_k, max(skv, 8))
+    sq_pad = _blocks(sq, bq_eff) * bq_eff
+    skv_pad = _blocks(skv, bk_eff) * bk_eff
+
+    def to_bh(x, target_len):
+        x = x.transpose(0, 2, 1, 3).reshape(b * hq, x.shape[1], d)
+        if x.shape[1] < target_len:
+            x = jnp.pad(x, ((0, 0), (0, target_len - x.shape[1]), (0, 0)))
+        return x
+
+    o = _flash_core(
+        to_bh(q, sq_pad), to_bh(k, skv_pad), to_bh(v, skv_pad), kv_len_bh, q_off,
+        causal, float(scale), bq_eff, bk_eff,
+    )
+    return o[:, :sq].reshape(b, hq, sq, d).transpose(0, 2, 1, 3)

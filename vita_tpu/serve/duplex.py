@@ -1,0 +1,164 @@
+"""Duplex interaction controller: generate/monitor role swap with
+audio-interrupt, noise rejection via the <2> state token, and sentence-
+chunked TTS hand-off.
+
+State-machine parity with the reference's interactive demo wiring
+(web_demo/web_interactive_demo.py): two engine replicas run concurrently —
+one GENERATOR (streaming the current answer), one MONITOR (watching new
+audio); when the monitor's model starts answering a new query (its first
+tokens are not '<2>'), the generator is interrupted, queues are cleared,
+and the roles swap (:286-293,330-376,953-996). A '<2>' prefix means the
+audio was background noise: the response is aborted and roles keep
+(:368-370 judge_negative). Completed sentences flush to a pluggable TTS
+callback at punctuation boundaries with a minimum length (:572-574).
+
+On TPU the two replicas map to two model servers on disjoint slice halves
+(e.g. 2 x v5e-4); here the controller only needs two Engine objects.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+from typing import Callable, List, Optional
+
+import numpy as np
+
+from vita_tpu.constants import STATE_TOKEN_NOISY
+from vita_tpu.serve.engine import Engine, Request
+
+SENTENCE_PUNCT = set("。！？!?.;；:：\n")
+MIN_TTS_CHARS = 5
+
+
+@dataclasses.dataclass
+class DuplexConfig:
+    max_new_tokens: int = 512
+    temperature: float = 0.0
+    eos_id: int = 2
+
+
+class DuplexController:
+    """Drives two engines through the generate/monitor protocol."""
+
+    def __init__(
+        self,
+        engines: List[Engine],
+        decode: Callable[[List[int]], str],
+        on_text: Optional[Callable[[str], None]] = None,
+        on_tts: Optional[Callable[[str], None]] = None,
+        config: DuplexConfig = DuplexConfig(),
+    ):
+        assert len(engines) == 2
+        self.engines = engines
+        self.decode = decode
+        self.on_text = on_text or (lambda s: None)
+        self.on_tts = on_tts or (lambda s: None)
+        self.cfg = config
+
+        self.generator_idx = 0  # engine currently allowed to speak
+        self.current: Optional[Request] = None
+        self._lock = threading.Lock()  # role handoff (start_event_lock :286)
+        self.rejected_noise = 0
+        self.interrupts = 0
+
+    @property
+    def monitor(self) -> Engine:
+        return self.engines[1 - self.generator_idx]
+
+    @property
+    def generator(self) -> Engine:
+        return self.engines[self.generator_idx]
+
+    def submit_query(self, request: Request) -> Request:
+        """New (VAD-segmented) query goes to the MONITOR engine. Its output
+        is gated: '<2>' prefix aborts; anything else interrupts the current
+        generator and swaps roles."""
+        gate = _StateTokenGate(self, request)
+        request.on_token = gate.on_token
+        request.on_finish = gate.on_finish
+        with self._lock:
+            self.monitor.submit(request)
+        return request
+
+    # internal: called by the gate when the first visible text is known
+    def _promote(self, request: Request) -> None:
+        with self._lock:
+            self.interrupts += 1 if self.current is not None else 0
+            if self.current is not None and not self.current.cancelled:
+                self.current.cancel()  # interrupt (stop_event :345-351)
+            self.generator.cancel_all()
+            self.generator_idx = 1 - self.generator_idx  # role swap
+            self.current = request
+
+    def _reject(self, request: Request) -> None:
+        with self._lock:
+            self.rejected_noise += 1
+            request.cancel()
+
+
+class _StateTokenGate:
+    """Buffers the first tokens of a monitor response to classify
+    noise (<2>) vs. real answer, then streams + sentence-chunks."""
+
+    def __init__(self, ctl: DuplexController, request: Request):
+        self.ctl = ctl
+        self.req = request
+        self.decided = False
+        self.buffer: List[int] = []
+        self.text_sent = 0
+        self.tts_pending = ""
+
+    def on_token(self, tok: int) -> None:
+        self.buffer.append(tok)
+        text = self.ctl.decode(self.buffer)
+        if not self.decided:
+            stripped = text.lstrip()
+            if not stripped:
+                return
+            if stripped.startswith(STATE_TOKEN_NOISY):
+                self.decided = True
+                self.ctl._reject(self.req)
+                return
+            # keep buffering until any leading state token is complete, so
+            # streaming below never sees a half-emitted '<1'
+            if stripped.startswith("<") and ">" not in stripped[:3]:
+                if len(stripped) < 3:
+                    return
+            self.decided = True
+            self.ctl._promote(self.req)
+        self._stream(text)
+
+    def _stream(self, text: str) -> None:
+        clean = _strip_state_tokens(text)
+        if len(clean) > self.text_sent:
+            self.ctl.on_text(clean[self.text_sent :])
+            self.tts_pending += clean[self.text_sent :]
+            self.text_sent = len(clean)
+        # flush complete sentences to TTS (>=5 chars, punct boundary :572-574)
+        while True:
+            cut = next(
+                (i for i, c in enumerate(self.tts_pending) if c in SENTENCE_PUNCT), None
+            )
+            if cut is None:
+                break
+            sentence, self.tts_pending = (
+                self.tts_pending[: cut + 1],
+                self.tts_pending[cut + 1 :],
+            )
+            if len(sentence.strip()) >= MIN_TTS_CHARS:
+                self.ctl.on_tts(sentence)
+            elif sentence.strip():
+                self.tts_pending = sentence + self.tts_pending
+                break
+
+    def on_finish(self, tokens: List[int], reason: str) -> None:
+        if self.decided and reason != "cancelled" and self.tts_pending.strip():
+            self.ctl.on_tts(self.tts_pending)
+            self.tts_pending = ""
+
+
+def _strip_state_tokens(text: str) -> str:
+    for t in ("<1>", "<2>", "<3>", "</s>"):
+        text = text.replace(t, "")
+    return text
