@@ -2,11 +2,13 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
-Headline metric: achieved HBM bandwidth of the decode step vs the v5e
-roofline (819 GB/s). Batch-1 MoE decode is weight-streaming-bound, so
-bandwidth utilization is the direct measure of kernel quality on one chip
-(BASELINE.md "roofline Mixtral-8x7B decode" target); tokens/s figures are
-derived and reported as extras.
+Headline metric: achieved effective HBM bandwidth of the decode step vs
+the v5e roofline (819 GB/s), counting only the bytes the step NEEDS to
+read (top-2 experts via the Pallas gather kernel + attention + dense
+weights), i.e. speed-of-light = roofline bandwidth on active bytes.
+Batch-1 MoE decode is weight-streaming-bound, so this is the direct
+measure of kernel quality on one chip (BASELINE.md "roofline
+Mixtral-8x7B decode" target); tokens/s figures are derived extras.
 
 Methodology notes (axon tunnel backend):
   - jax.block_until_ready does NOT synchronize on this backend; only a
@@ -38,10 +40,17 @@ def main() -> None:
 
     from vita_tpu.models import mixtral
 
+    import dataclasses
+
     cfg = mixtral.MixtralConfig(
         n_layers=N_LAYERS_BENCH, moe_mode="dense", dtype=jnp.bfloat16
     )
+    # decode uses the Pallas gather kernel over UNSTACKED layers (whole
+    # expert arrays as kernel operands — scan slices would force 2.8 GB
+    # copies per layer); prefill keeps the dense einsum (parallel tokens).
+    cfg_decode = dataclasses.replace(cfg, moe_mode="gather")
     params = mixtral.init_params(jax.random.PRNGKey(0), cfg)
+    params_u = mixtral.unstack_layers(params)
     param_bytes = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
 
     @jax.jit
@@ -51,7 +60,9 @@ def main() -> None:
 
     @jax.jit
     def step(params, tok, cache):
-        logits, cache, _ = mixtral.forward(params, cfg, input_ids=tok[:, None], cache=cache)
+        logits, cache, _ = mixtral.forward(
+            params, cfg_decode, input_ids=tok[:, None], cache=cache
+        )
         return jnp.argmax(logits[:, -1], -1).astype(jnp.int32), cache
 
     ids = jnp.ones((1, PREFILL_LEN), jnp.int32)
@@ -62,14 +73,14 @@ def main() -> None:
     _ = int(tok[0])
     prefill_time = time.time() - t0  # includes compile
 
-    tok, cache = step(params, tok, cache)
+    tok, cache = step(params_u, tok, cache)
     _ = int(tok[0])  # warm decode graph
 
     def run(n):
         t, c = tok, cache
         t0 = time.time()
         for _ in range(n):
-            t, c = step(params, t, c)
+            t, c = step(params_u, t, c)
         _ = int(t[0])  # single synchronizing readback
         return time.time() - t0
 
@@ -79,10 +90,24 @@ def main() -> None:
     per_step = (t_large - t_small) / (N_LARGE - N_SMALL)
     rtt = max(t_small - N_SMALL * per_step, 0.0)
 
-    achieved_gbps = param_bytes / per_step / 1e9
+    # active bytes per step: top-2 of 8 experts + all non-expert weights
+    expert_bytes = sum(
+        x.size * x.dtype.itemsize
+        for k in ("w_gate", "w_up", "w_down")
+        for x in [params["layers"]["moe"][k]]
+    )
+    embed_bytes = params["embed"].size * params["embed"].dtype.itemsize
+    # decode reads: all non-expert weights except the embed table (a decode
+    # step gathers one embedding row, not the table) + top-k of the experts
+    active_bytes = (
+        param_bytes - expert_bytes - embed_bytes
+        + expert_bytes * (cfg.top_k / cfg.n_experts)
+    )
+    achieved_gbps = active_bytes / per_step / 1e9
     # 32L tokens/s/chip extrapolation (layer-dominated; embed+head ride once)
-    layer_bytes = (param_bytes - 2 * 51760 * 4096 * 2) / N_LAYERS_BENCH
-    full_step = per_step * (layer_bytes * N_LAYERS_FULL + 2 * 51760 * 4096 * 2) / param_bytes
+    head_bytes = 51760 * 4096 * 2  # lm_head only
+    layer_active = (active_bytes - head_bytes) / N_LAYERS_BENCH
+    full_step = per_step * (layer_active * N_LAYERS_FULL + head_bytes) / active_bytes
 
     print(
         json.dumps(
@@ -93,10 +118,12 @@ def main() -> None:
                 "vs_baseline": round(achieved_gbps / V5E_HBM_GBPS, 4),
                 "achieved_gb_per_s": round(achieved_gbps, 1),
                 "decode_step_ms_2L_fullwidth": round(per_step * 1000, 3),
-                "tokens_per_s_32L_dense_1chip_extrapolated": round(1.0 / full_step, 2),
+                "tokens_per_s_32L_1chip_extrapolated": round(1.0 / full_step, 2),
                 "tunnel_rtt_ms": round(rtt * 1000, 1),
                 "prefill128_s_incl_compile": round(prefill_time, 2),
                 "param_gb": round(param_bytes / 1e9, 2),
+                "active_gb_per_step": round(active_bytes / 1e9, 2),
+                "moe_mode": cfg_decode.moe_mode,
                 "backend": jax.default_backend(),
             }
         )

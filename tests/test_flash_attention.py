@@ -121,3 +121,43 @@ def test_flash_gqa_gradients():
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=5e-3, atol=5e-3)
+
+
+def test_mixtral_flash_backend_matches_xla():
+    """Full model forward with attn_backend='flash' equals the XLA path."""
+    import dataclasses
+
+    from vita_tpu.models import mixtral as mx
+
+    cfg = mx.MixtralConfig.tiny()
+    params = mx.init_params(jax.random.PRNGKey(0), cfg)
+    ids = jnp.array([[1, 5, 9, 2, 7, 3, 4, 8]], jnp.int32)
+    valid = jnp.array([[True] * 6 + [False] * 2])
+    ref, _, _ = mx.forward(params, cfg, input_ids=ids, attn_valid=valid)
+
+    cfg_f = dataclasses.replace(cfg, attn_backend="flash")
+    with pltpu.force_tpu_interpret_mode():
+        out, _, _ = mx.forward(params, cfg_f, input_ids=ids, attn_valid=valid)
+    np.testing.assert_allclose(
+        np.asarray(out[:, :6]), np.asarray(ref[:, :6]), rtol=2e-3, atol=2e-3
+    )
+
+
+def test_mixtral_flash_backend_decode():
+    """Flash path prefill+decode with cache matches XLA full forward."""
+    import dataclasses
+
+    from vita_tpu.models import mixtral as mx
+
+    cfg = mx.MixtralConfig.tiny()
+    cfg_f = dataclasses.replace(cfg, attn_backend="flash")
+    params = mx.init_params(jax.random.PRNGKey(0), cfg)
+    ids = jnp.array([[1, 5, 9, 2, 7]], jnp.int32)
+    full, _, _ = mx.forward(params, cfg, input_ids=ids)
+
+    with pltpu.force_tpu_interpret_mode():
+        cache = mx.init_kv_cache(cfg_f, batch=1, max_len=8)
+        lp, cache, _ = mx.forward(params, cfg_f, input_ids=ids[:, :4], cache=cache)
+        lt, cache, _ = mx.forward(params, cfg_f, input_ids=ids[:, 4:5], cache=cache)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(full[:, :4]), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(lt[:, 0]), np.asarray(full[:, 4]), rtol=2e-3, atol=2e-3)

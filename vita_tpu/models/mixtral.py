@@ -138,6 +138,23 @@ def param_specs(cfg: MixtralConfig) -> Params:
     }
 
 
+def unstack_layers(params: Params) -> Params:
+    """Convert the scan-stacked layer params into a per-layer list.
+
+    The decode path with the Pallas MoE gather kernel needs whole expert
+    arrays as kernel operands: a lax.scan slice of the stacked [L, E, D, F]
+    array makes XLA materialize a 2.8 GB copy per layer before the custom
+    call. With unstacked layers the python-loop forward passes each
+    layer's own arrays directly — zero copies.
+    """
+    stacked = params["layers"]
+    n_layers = jax.tree.leaves(stacked)[0].shape[0]
+    layers = [jax.tree.map(lambda x: x[i], stacked) for i in range(n_layers)]
+    out = dict(params)
+    out["layers"] = layers
+    return out
+
+
 def init_kv_cache(
     cfg: MixtralConfig, batch: int, max_len: int, dtype=None
 ) -> Params:
@@ -193,12 +210,25 @@ def _attention_block(
         kv_positions = positions
         new_k = new_v = None
 
-    # Additive bias: causal (kv_pos <= q_pos) AND kv slot valid.
-    causal = kv_positions[:, None, :] <= positions[:, :, None]  # [B, Sq, Skv]
-    keep = causal & kv_valid[:, None, :]
-    bias = jnp.where(keep[:, None], 0.0, NEG_INF).astype(jnp.float32)  # [B,1,Sq,Skv]
-    out = mha(q, k_all.astype(q.dtype), v_all.astype(q.dtype), bias=bias,
-              backend=cfg.attn_backend)
+    if cfg.attn_backend == "flash":
+        # kv slots are stored at their absolute positions and validity is a
+        # prefix (right padding), so causal+kv_len masking in-kernel is
+        # exact; q positions are contiguous per row starting at q_offset.
+        from vita_tpu.ops.flash_attention import flash_mha
+
+        out = flash_mha(
+            q, k_all.astype(q.dtype), v_all.astype(q.dtype),
+            kv_len=jnp.sum(kv_valid, axis=1).astype(jnp.int32),
+            q_offset=positions[:, 0].astype(jnp.int32),
+            causal=True,
+        )
+    else:
+        # Additive bias: causal (kv_pos <= q_pos) AND kv slot valid.
+        causal = kv_positions[:, None, :] <= positions[:, :, None]  # [B, Sq, Skv]
+        keep = causal & kv_valid[:, None, :]
+        bias = jnp.where(keep[:, None], 0.0, NEG_INF).astype(jnp.float32)
+        out = mha(q, k_all.astype(q.dtype), v_all.astype(q.dtype), bias=bias,
+                  backend="xla")
     out = out.reshape(b, s, hq * hd) @ lp["wo"]
     return out, new_k, new_v
 
@@ -244,32 +274,49 @@ def forward(
         x = x + moe_out.reshape(b, s, d)
         return (x, aux_sum + aux), (nk, nv)
 
-    if cache is not None:
-        xs = (params["layers"], cache["k"], cache["v"])
+    if isinstance(params["layers"], (list, tuple)):
+        # Unstacked layers (see unstack_layers): python loop — unrolled at
+        # trace time; each layer's arrays are direct kernel operands.
+        x = inputs_embeds
+        aux_total = jnp.zeros((), jnp.float32)
+        new_ks, new_vs = [], []
+        for i, lp in enumerate(params["layers"]):
+            ck = cache["k"][i] if cache is not None else None
+            cv = cache["v"][i] if cache is not None else None
+            (x, aux_total), (nk, nv) = layer_fn((x, aux_total), (lp, ck, cv))
+            if cache is not None:
+                new_ks.append(nk)
+                new_vs.append(nv)
+        new_kv = (jnp.stack(new_ks), jnp.stack(new_vs)) if cache is not None else (None, None)
     else:
-        nl = cfg.n_layers
-        xs = (params["layers"], jnp.zeros((nl, 0)), jnp.zeros((nl, 0)))
+        if cache is not None:
+            xs = (params["layers"], cache["k"], cache["v"])
+        else:
+            nl = cfg.n_layers
+            xs = (params["layers"], jnp.zeros((nl, 0)), jnp.zeros((nl, 0)))
 
-        def layer_fn_nocache(carry, layer_inputs):  # avoid tracing cache branch
-            x, aux_sum = carry
-            lp, _, _ = layer_inputs
-            h = rms_norm(x, lp["ln_attn"], cfg.rms_eps)
-            attn_out, _, _ = _attention_block(
-                lp["attn"], cfg, h, positions, attn_valid, None, None, None
-            )
-            x = x + attn_out
-            h = rms_norm(x, lp["ln_moe"], cfg.rms_eps)
-            moe_out, aux = moe_ffn(
-                lp["moe"], h.reshape(b * s, d), cfg.top_k,
-                mode=cfg.moe_mode, capacity_factor=cfg.moe_capacity_factor,
-                token_mask=tm_flat,
-            )
-            x = x + moe_out.reshape(b, s, d)
-            return (x, aux_sum + aux), (None, None)
+            def layer_fn_nocache(carry, layer_inputs):  # avoid tracing cache branch
+                x, aux_sum = carry
+                lp, _, _ = layer_inputs
+                h = rms_norm(x, lp["ln_attn"], cfg.rms_eps)
+                attn_out, _, _ = _attention_block(
+                    lp["attn"], cfg, h, positions, attn_valid, None, None, None
+                )
+                x = x + attn_out
+                h = rms_norm(x, lp["ln_moe"], cfg.rms_eps)
+                moe_out, aux = moe_ffn(
+                    lp["moe"], h.reshape(b * s, d), cfg.top_k,
+                    mode=cfg.moe_mode, capacity_factor=cfg.moe_capacity_factor,
+                    token_mask=tm_flat,
+                )
+                x = x + moe_out.reshape(b, s, d)
+                return (x, aux_sum + aux), (None, None)
 
-        layer_fn = layer_fn_nocache
+            layer_fn = layer_fn_nocache
 
-    (x, aux_total), new_kv = jax.lax.scan(layer_fn, (inputs_embeds, jnp.zeros((), jnp.float32)), xs)
+        (x, aux_total), new_kv = jax.lax.scan(
+            layer_fn, (inputs_embeds, jnp.zeros((), jnp.float32)), xs
+        )
 
     x = rms_norm(x, params["ln_final"], cfg.rms_eps)
     logits = x @ params["lm_head"]

@@ -239,3 +239,161 @@ def forward(
     x, _ = jax.lax.scan(layer_fn, x, params["layers"])
     x = layer_norm(x, params["ln_final"]["w"], params["ln_final"]["b"], cfg.ln_eps)
     return x, valid
+
+
+# ---------------------------------------------------------------------------
+# streaming (chunked) inference
+# ---------------------------------------------------------------------------
+# The reference implements real-time encoding via an explicit flat ring-
+# buffer protocol threaded through every layer (`.infer`:
+# module/component/transformer.py:46-64, layer/attention.py:421-479).
+# Here the same capability is a functional jitted step: the state pytree
+# carries (a) unconsumed raw fbank frames (the subsampling convs need 7-
+# frame receptive fields), (b) per-layer K/V caches of the last
+# `left_context` subsampled positions, (c) the absolute position offset
+# (the rel-pos term indexes the sinusoid table by absolute kv position,
+# matching the full forward exactly).
+
+TAIL_MAX = 8  # raw frames carried between chunks (receptive-field overlap)
+
+
+def streaming_init(
+    cfg: WhaleConfig, batch: int, chunk_frames: int, left_context: int = 128
+) -> Params:
+    """State for streaming_step. ``chunk_frames`` is raw fbank frames per
+    step (multiple of 4 recommended); ``left_context`` is the attention
+    span in subsampled frames kept per layer."""
+    return {
+        "raw_tail": jnp.zeros((batch, TAIL_MAX, cfg.input_dim), jnp.float32),
+        "tail_len": jnp.zeros((), jnp.int32),
+        "k": jnp.zeros((cfg.n_layers, batch, left_context, cfg.n_heads, cfg.head_dim), cfg.dtype),
+        "v": jnp.zeros((cfg.n_layers, batch, left_context, cfg.n_heads, cfg.head_dim), cfg.dtype),
+        "ctx_len": jnp.zeros((), jnp.int32),
+        "pos_offset": jnp.zeros((), jnp.int32),
+    }
+
+
+def streaming_step(
+    params: Params, cfg: WhaleConfig, state: Params, chunk: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray, Params]:
+    """Process one chunk [B, chunk_frames, input_dim] of fbank features.
+
+    Returns (features [B, max_out, hidden], valid [B, max_out], new_state).
+    Concatenated valid outputs across steps equal `forward` restricted to
+    the same bounded left context.
+    """
+    b, chunk_frames, fdim = chunk.shape
+    max_out = subsampled_length(TAIL_MAX + chunk_frames)  # static
+    left_context = state["k"].shape[2]
+    nh, hd = cfg.n_heads, cfg.head_dim
+
+    x_cm = (chunk.astype(jnp.float32) - params["cmvn"]["mean"]) * params["cmvn"]["istd"]
+
+    # assemble [tail || chunk]; tail is stored RIGHT-aligned in its buffer,
+    # so one left-roll by (TAIL_MAX - tail_len) makes the valid span
+    # contiguous from index 0
+    total_buf = TAIL_MAX + chunk_frames
+    buf = jnp.concatenate([state["raw_tail"], x_cm.astype(jnp.float32)], axis=1)
+    tail_len = state["tail_len"]
+    shift = TAIL_MAX - tail_len
+    idx = (jnp.arange(total_buf)[None, :] + shift) % total_buf
+    buf = jnp.take_along_axis(buf, idx[..., None], axis=1)
+    t_total = tail_len + chunk_frames
+
+    t_out = subsampled_length(t_total)  # dynamic scalar <= max_out
+    consumed = 4 * t_out
+    new_tail_len = t_total - consumed
+
+    # subsample the (padded) buffer; outputs beyond t_out are garbage->masked
+    sub_in = buf[:, :, :]  # [B, total_buf, F]
+    feats = _conv_subsample(params["sub"], sub_in.astype(cfg.dtype))[:, :max_out]
+    out_valid = jnp.arange(max_out)[None, :] < t_out  # [B?, max_out]
+    out_valid = jnp.broadcast_to(out_valid, (b, max_out))
+
+    # carry unconsumed raw frames, right-aligned: slot TAIL_MAX-1 holds the
+    # newest frame (buf row t_total-1)
+    tail_idx = jnp.clip(t_total - TAIL_MAX + jnp.arange(TAIL_MAX)[None, :], 0, total_buf - 1)
+    new_tail = jnp.take_along_axis(buf, tail_idx[..., None], axis=1)
+    keep = jnp.arange(TAIL_MAX)[None, :, None] >= (TAIL_MAX - new_tail_len)
+    new_tail = jnp.where(keep, new_tail, 0.0)
+
+    e = params["embed"]
+    h = jax.nn.relu(layer_norm(feats @ e["w"] + e["b"], e["ln_w"], e["ln_b"], eps=1e-5))
+    h = h * math.sqrt(cfg.hidden)
+
+    # absolute positions of this chunk's outputs / cached context
+    pos_offset = state["pos_offset"]
+    q_abs = pos_offset + jnp.arange(max_out)  # [max_out]
+    pe_full = jnp.asarray(sinusoid_table(cfg.max_positions, cfg.hidden), cfg.dtype)
+    ctx_len = state["ctx_len"]
+    ctx_start = pos_offset - ctx_len
+    kv_ctx_abs = ctx_start + jnp.arange(left_context)  # first ctx_len valid
+    scale = 1.0 / math.sqrt(hd)
+
+    def layer_fn(carry, inputs):
+        h = carry
+        lp, ck, cv = inputs  # caches [B, left_context, nh, hd]
+        hn = layer_norm(h, lp["norm1_w"], lp["norm1_b"], cfg.ln_eps)
+        q = (hn @ lp["q_w"] + lp["q_b"]).reshape(b, max_out, nh, hd)
+        k = (hn @ lp["k_w"] + lp["k_b"]).reshape(b, max_out, nh, hd)
+        v = (hn @ lp["v_w"] + lp["v_b"]).reshape(b, max_out, nh, hd)
+
+        k_all = jnp.concatenate([ck, k.astype(ck.dtype)], axis=1)
+        v_all = jnp.concatenate([cv, v.astype(cv.dtype)], axis=1)
+        kv_abs = jnp.concatenate([kv_ctx_abs, q_abs])  # [left+max_out]
+        kv_valid = jnp.concatenate(
+            [jnp.arange(left_context) < ctx_len, jnp.arange(max_out) < t_out]
+        )
+
+        p_all = (
+            jnp.take(pe_full, jnp.clip(kv_abs, 0, cfg.max_positions - 1), axis=0)
+            @ lp["pos_w"]
+        ).reshape(-1, nh, hd)
+        ac = jnp.einsum("bqhd,bkhd->bhqk", q + lp["pos_bias_u"], k_all,
+                        preferred_element_type=jnp.float32)
+        bd = jnp.einsum("bqhd,khd->bhqk", q + lp["pos_bias_v"], p_all,
+                        preferred_element_type=jnp.float32)
+        logits = (ac + bd) * scale
+        logits = jnp.where(kv_valid[None, None, None, :], logits, -1e30)
+        probs = jax.nn.softmax(logits, axis=-1).astype(v_all.dtype)
+        attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v_all).reshape(b, max_out, cfg.hidden)
+        h = h + (attn @ lp["out_w"] + lp["out_b"])
+        hn = layer_norm(h, lp["norm2_w"], lp["norm2_b"], cfg.ln_eps)
+        hn = jax.nn.relu(hn @ lp["ffn1_w"] + lp["ffn1_b"])
+        h = h + (hn @ lp["ffn2_w"] + lp["ffn2_b"])
+
+        # roll this layer's cache: keep the last `left_context` of valid kv
+        # ordered [old ctx (ctx_len) | new (t_out)] within the padded concat
+        nvalid = jnp.minimum(ctx_len + t_out, left_context)
+        # gather indices of the last nvalid valid entries, right-aligned
+        total = left_context + max_out
+        # valid entries are ctx slots [left-ctx_len ... wait: ctx stored left-aligned
+        # ctx cache is left-aligned [0..ctx_len), new valid [left..left+t_out)
+        # build compact order: old then new
+        order = jnp.concatenate([jnp.arange(left_context), left_context + jnp.arange(max_out)])
+        is_valid = kv_valid
+        # stable partition: valid entries first
+        sort_key = jnp.where(is_valid, 0, 1) * total + order
+        perm = jnp.argsort(sort_key)
+        k_compact = jnp.take(k_all, perm, axis=1)
+        v_compact = jnp.take(v_all, perm, axis=1)
+        # take the last nvalid of the first (ctx_len+t_out) compacted entries
+        start = jnp.maximum(ctx_len + t_out - nvalid, 0)
+        idx2 = jnp.clip(start + jnp.arange(left_context), 0, total - 1)
+        new_ck = jnp.take(k_compact, idx2, axis=1)
+        new_cv = jnp.take(v_compact, idx2, axis=1)
+        # left-align: entries beyond nvalid are stale; mask handled by ctx_len
+        return h, (new_ck, new_cv)
+
+    h, new_caches = jax.lax.scan(layer_fn, h, (params["layers"], state["k"], state["v"]))
+    h = layer_norm(h, params["ln_final"]["w"], params["ln_final"]["b"], cfg.ln_eps)
+
+    new_state = {
+        "raw_tail": new_tail,
+        "tail_len": new_tail_len,
+        "k": new_caches[0],
+        "v": new_caches[1],
+        "ctx_len": jnp.minimum(ctx_len + t_out, left_context),
+        "pos_offset": pos_offset + t_out,
+    }
+    return h, out_valid, new_state

@@ -44,7 +44,7 @@ def _blocks(n: int, b: int) -> int:
 # ----------------------------------------------------------------------
 def _fwd_kernel(
     kv_len_ref,  # SMEM [BH] valid kv length per bh row
-    q_off_ref,  # SMEM [1] absolute position of q row 0
+    q_off_ref,  # SMEM [BH] absolute position of q row 0, per bh row
     q_ref,  # [1, bq, D]
     k_ref,  # [1, bk, D]
     v_ref,  # [1, bk, D]
@@ -71,7 +71,7 @@ def _fwd_kernel(
 
     bh = pl.program_id(0)
     kv_len = kv_len_ref[bh]
-    q_off = q_off_ref[0]
+    q_off = q_off_ref[bh]
 
     q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + q_off
     k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
@@ -176,7 +176,7 @@ def _bwd_dq_kernel(
 
     bh = pl.program_id(0)
     kv_len = kv_len_ref[bh]
-    q_off = q_off_ref[0]
+    q_off = q_off_ref[bh]
     q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + q_off
     k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
 
@@ -229,7 +229,7 @@ def _bwd_dkv_kernel(
 
     bh = pl.program_id(0)
     kv_len = kv_len_ref[bh]
-    q_off = q_off_ref[0]
+    q_off = q_off_ref[bh]
     q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + q_off
     k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
 
@@ -364,7 +364,7 @@ def flash_mha(
     k: jnp.ndarray,  # [B, Skv, Hkv, D]
     v: jnp.ndarray,
     kv_len: Optional[jnp.ndarray] = None,  # [B] valid kv lengths
-    q_offset: int | jnp.ndarray = 0,  # absolute position of q row 0
+    q_offset: int | jnp.ndarray = 0,  # absolute q-row-0 position: scalar or [B]
     causal: bool = False,
     scale: Optional[float] = None,
     bias: None = None,  # API compat; arbitrary bias unsupported
@@ -388,7 +388,10 @@ def flash_mha(
     if kv_len is None:
         kv_len = jnp.full((b,), skv, jnp.int32)
     kv_len_bh = jnp.repeat(kv_len.astype(jnp.int32), hq)  # [B*H]
-    q_off = jnp.asarray(q_offset, jnp.int32).reshape(1)
+    q_offset = jnp.asarray(q_offset, jnp.int32)
+    if q_offset.ndim == 0:
+        q_offset = jnp.full((b,), q_offset, jnp.int32)
+    q_off = jnp.repeat(q_offset, hq)  # [B*H]
 
     # pad sequence dims to block multiples (k padding is masked via kv_len;
     # padded q rows are sliced away below)

@@ -125,6 +125,17 @@ def moe_ffn(
         out = jnp.einsum("te,etd->td", w_full.astype(x.dtype), out_e)
         return out.astype(x.dtype), aux
 
+    if mode == "gather":
+        # Pallas decode path: stream only the selected experts' weights.
+        # Routing math identical to 'dense'; aux loss still computed here.
+        from vita_tpu.ops.moe_decode import gather_expert_ffn
+
+        expert_out = gather_expert_ffn(
+            x, topk_i, params["w_gate"], params["w_up"], params["w_down"]
+        )
+        out = jnp.sum(expert_out * topk_w[..., None].astype(x.dtype), axis=1)
+        return out.astype(x.dtype), aux
+
     if mode == "capacity":
         capacity = int(max(top_k, np_ceil(t * top_k / e * capacity_factor)))
         # Position of each (token, slot) within its expert's buffer.

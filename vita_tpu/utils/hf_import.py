@@ -216,3 +216,77 @@ def audio_projector_from_hf(state: Mapping[str, Any], prefix="", dtype=np.float3
         "ln_w": g("norm.weight"), "ln_b": g("norm.bias"),
         "proj_w": g("linear.weight").T, "proj_b": g("linear.bias"),
     }
+
+
+def clip_params_from_hf(state: Mapping[str, Any], n_layers: int, dtype=np.float32):
+    """HF CLIPVisionModel -> vita_tpu.models.clip pytree."""
+    g = lambda n: _np(state["vision_model." + n]).astype(dtype)
+
+    def stack(fmt, transpose=True):
+        mats = [g(fmt.format(l=l)) for l in range(n_layers)]
+        return np.stack([m.T if transpose else m for m in mats])
+
+    L = "encoder.layers.{l}."
+    pw = g("embeddings.patch_embedding.weight")  # [D, 3, p, p]
+    return {
+        "patch_embed": {"w": pw.reshape(pw.shape[0], -1).T},
+        "cls": g("embeddings.class_embedding"),
+        "pos_embed": g("embeddings.position_embedding.weight"),
+        "pre_ln": {"w": g("pre_layrnorm.weight"), "b": g("pre_layrnorm.bias")},
+        "layers": {
+            "q_w": stack(L + "self_attn.q_proj.weight"),
+            "q_b": stack(L + "self_attn.q_proj.bias", False),
+            "k_w": stack(L + "self_attn.k_proj.weight"),
+            "k_b": stack(L + "self_attn.k_proj.bias", False),
+            "v_w": stack(L + "self_attn.v_proj.weight"),
+            "v_b": stack(L + "self_attn.v_proj.bias", False),
+            "o_w": stack(L + "self_attn.out_proj.weight"),
+            "o_b": stack(L + "self_attn.out_proj.bias", False),
+            "fc1_w": stack(L + "mlp.fc1.weight"),
+            "fc1_b": stack(L + "mlp.fc1.bias", False),
+            "fc2_w": stack(L + "mlp.fc2.weight"),
+            "fc2_b": stack(L + "mlp.fc2.bias", False),
+            "ln1_w": stack(L + "layer_norm1.weight", False),
+            "ln1_b": stack(L + "layer_norm1.bias", False),
+            "ln2_w": stack(L + "layer_norm2.weight", False),
+            "ln2_b": stack(L + "layer_norm2.bias", False),
+        },
+    }
+
+
+def siglip_params_from_hf(state: Mapping[str, Any], n_layers: int, dtype=np.float32):
+    """HF SiglipVisionModel -> vita_tpu.models.siglip pytree."""
+    g = lambda n: _np(state["vision_model." + n]).astype(dtype)
+
+    def stack(fmt, transpose=True):
+        mats = [g(fmt.format(l=l)) for l in range(n_layers)]
+        return np.stack([m.T if transpose else m for m in mats])
+
+    L = "encoder.layers.{l}."
+    pw = g("embeddings.patch_embedding.weight")
+    return {
+        "patch_embed": {
+            "w": pw.reshape(pw.shape[0], -1).T,
+            "b": g("embeddings.patch_embedding.bias"),
+        },
+        "pos_embed": g("embeddings.position_embedding.weight"),
+        "layers": {
+            "q_w": stack(L + "self_attn.q_proj.weight"),
+            "q_b": stack(L + "self_attn.q_proj.bias", False),
+            "k_w": stack(L + "self_attn.k_proj.weight"),
+            "k_b": stack(L + "self_attn.k_proj.bias", False),
+            "v_w": stack(L + "self_attn.v_proj.weight"),
+            "v_b": stack(L + "self_attn.v_proj.bias", False),
+            "o_w": stack(L + "self_attn.out_proj.weight"),
+            "o_b": stack(L + "self_attn.out_proj.bias", False),
+            "fc1_w": stack(L + "mlp.fc1.weight"),
+            "fc1_b": stack(L + "mlp.fc1.bias", False),
+            "fc2_w": stack(L + "mlp.fc2.weight"),
+            "fc2_b": stack(L + "mlp.fc2.bias", False),
+            "ln1_w": stack(L + "layer_norm1.weight", False),
+            "ln1_b": stack(L + "layer_norm1.bias", False),
+            "ln2_w": stack(L + "layer_norm2.weight", False),
+            "ln2_b": stack(L + "layer_norm2.bias", False),
+        },
+        "post_ln": {"w": g("post_layernorm.weight"), "b": g("post_layernorm.bias")},
+    }
