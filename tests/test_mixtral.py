@@ -120,3 +120,13 @@ def test_sharded_forward_runs(mesh8, tiny, tiny_params):
     logits, _, _ = jax.jit(lambda p, i: mx.forward(p, tiny, input_ids=i))(sharded, ids)
     ref, _, _ = mx.forward(tiny_params, tiny, input_ids=ids)
     np.testing.assert_allclose(np.asarray(logits), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_hf_export_import_roundtrip(tiny, tiny_params):
+    """mixtral_params_to_hf is the exact inverse of mixtral_params_from_hf."""
+    from vita_tpu.utils.hf_import import mixtral_params_from_hf, mixtral_params_to_hf
+
+    state = mixtral_params_to_hf(tiny_params, tiny)
+    back = jax.tree.map(jnp.asarray, mixtral_params_from_hf(state, tiny))
+    for a, b in zip(jax.tree.leaves(tiny_params), jax.tree.leaves(back)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -98,3 +98,17 @@ def test_sample_video_frames_limits():
     idx = sample_video_frames(60, fps=30.0, sample_fps=1.0, max_frames=16, min_frames=4)
     assert len(idx) == 4  # 2 s video clamps to min
     assert idx.max() < 60
+
+
+def test_native_fbank_matches_numpy():
+    """C++ fbank (native/fbank.cc via ctypes) == numpy oracle."""
+    from vita_tpu.native import fbank_native, native_available
+
+    if not native_available():
+        pytest.skip("g++ build unavailable")
+    rng = np.random.RandomState(0)
+    wav = (rng.randn(16000) * 0.1).astype(np.float32)
+    a = fbank(wav)
+    b = fbank_native(wav)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)

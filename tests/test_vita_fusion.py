@@ -110,3 +110,30 @@ def test_generate_cache_capacity_guard(tiny_cfg, tiny_params):
     g = Generator(tiny_params, tiny_cfg, max_len=8)
     with pytest.raises(ValueError, match="cache capacity"):
         g.generate(np.arange(1, 6, dtype=np.int32), gen=GenerationConfig(max_new_tokens=10))
+
+
+def test_generate_stop_sequences(tiny_cfg, tiny_params):
+    from vita_tpu.generate import ends_with_stop, stop_sequences_from_keywords
+
+    seqs = stop_sequences_from_keywords(["</s>"], lambda s: [1, 42, 43], bos_id=1)
+    assert seqs == ((42, 43),)
+    assert ends_with_stop([5, 42, 43], seqs)
+    assert not ends_with_stop([42, 43, 5], seqs)
+
+    # generation stops as soon as the stop sequence is produced
+    g = Generator(tiny_params, tiny_cfg, max_len=64)
+    free = g.generate(np.array([1, 5, 9], np.int32),
+                      gen=GenerationConfig(max_new_tokens=8, eos_id=-1))
+    assert len(free) >= 2
+    stop = (tuple(free[:2]),)
+    out = g.generate(np.array([1, 5, 9], np.int32),
+                     gen=GenerationConfig(max_new_tokens=8, eos_id=-1, stop_sequences=stop))
+    assert out == free[:2]
+
+
+def test_generate_top_p(tiny_cfg, tiny_params):
+    g = Generator(tiny_params, tiny_cfg, max_len=32)
+    out = g.generate(np.array([1, 5], np.int32),
+                     gen=GenerationConfig(max_new_tokens=4, temperature=1.0, top_p=0.8, eos_id=-1),
+                     seed=3)
+    assert len(out) == 4

@@ -29,7 +29,32 @@ class GenerationConfig:
     max_new_tokens: int = 512
     temperature: float = 0.0  # 0 => greedy
     top_k: int = 0  # 0 => no top-k filter
+    top_p: float = 1.0  # nucleus sampling threshold
     eos_id: int = 2  # </s>
+    # multi-token stop sequences (KeywordsStoppingCriteria equivalent,
+    # vita/util/mm_utils.py:121-155): generation stops when the output
+    # ends with any of these id sequences.
+    stop_sequences: tuple = ()
+
+
+def stop_sequences_from_keywords(keywords, encode, bos_id=None):
+    """Build stop id-sequences from keyword strings (strips leading BOS the
+    way the reference does, mm_utils.py:127-131)."""
+    seqs = []
+    for kw in keywords:
+        ids = encode(kw)
+        if bos_id is not None and len(ids) > 1 and ids[0] == bos_id:
+            ids = ids[1:]
+        seqs.append(tuple(ids))
+    return tuple(seqs)
+
+
+def ends_with_stop(tokens, stop_sequences) -> bool:
+    for seq in stop_sequences:
+        n = len(seq)
+        if n and len(tokens) >= n and tuple(tokens[-n:]) == tuple(seq):
+            return True
+    return False
 
 
 class Generator:
@@ -79,6 +104,14 @@ class Generator:
             x = np.where(x < kth, -np.inf, x)
         p = np.exp(x - x.max())
         p /= p.sum()
+        if gen.top_p < 1.0:
+            order = np.argsort(-p)
+            csum = np.cumsum(p[order])
+            cut = int(np.searchsorted(csum, gen.top_p)) + 1
+            mask = np.zeros_like(p)
+            mask[order[:cut]] = 1.0
+            p = p * mask
+            p /= p.sum()
         return int(rng.choice(len(p), p=p))
 
     def generate(
@@ -134,7 +167,7 @@ class Generator:
             out.append(tok)
             if on_token is not None:
                 on_token(tok)
-            if tok == gen.eos_id:
+            if tok == gen.eos_id or ends_with_stop(out, gen.stop_sequences):
                 break
             pos = s + i
             if pos + 1 > self.max_len:

@@ -290,3 +290,37 @@ def siglip_params_from_hf(state: Mapping[str, Any], n_layers: int, dtype=np.floa
         },
         "post_ln": {"w": g("post_layernorm.weight"), "b": g("post_layernorm.bias")},
     }
+
+
+def mixtral_params_to_hf(params, cfg, prefix: str = "model.") -> Dict[str, np.ndarray]:
+    """Export our Mixtral pytree back to HF state_dict names (the inverse
+    of mixtral_params_from_hf) — checkpoint interop for the released VITA
+    weights and eval harnesses."""
+    g = lambda x: np.asarray(x, np.float32)
+    out: Dict[str, np.ndarray] = {
+        f"{prefix}embed_tokens.weight": g(params["embed"]),
+        f"{prefix}norm.weight": g(params["ln_final"]),
+        "lm_head.weight": g(params["lm_head"]).T,
+    }
+    import jax as _jax
+
+    layers = params["layers"]
+    stacked = not isinstance(layers, (list, tuple))
+    for l in range(cfg.n_layers):
+        lp = (
+            _jax.tree.map(lambda x: x[l], layers) if stacked else layers[l]
+        )
+        L = f"{prefix}layers.{l}."
+        out[L + "self_attn.q_proj.weight"] = g(lp["attn"]["wq"]).T
+        out[L + "self_attn.k_proj.weight"] = g(lp["attn"]["wk"]).T
+        out[L + "self_attn.v_proj.weight"] = g(lp["attn"]["wv"]).T
+        out[L + "self_attn.o_proj.weight"] = g(lp["attn"]["wo"]).T
+        out[L + "block_sparse_moe.gate.weight"] = g(lp["moe"]["router"]).T
+        for e in range(cfg.n_experts):
+            E = L + f"block_sparse_moe.experts.{e}."
+            out[E + "w1.weight"] = g(lp["moe"]["w_gate"][e]).T
+            out[E + "w3.weight"] = g(lp["moe"]["w_up"][e]).T
+            out[E + "w2.weight"] = g(lp["moe"]["w_down"][e]).T
+        out[L + "input_layernorm.weight"] = g(lp["ln_attn"])
+        out[L + "post_attention_layernorm.weight"] = g(lp["ln_moe"])
+    return out
