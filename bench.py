@@ -39,6 +39,9 @@ def main() -> None:
     import jax.numpy as jnp
 
     from vita_tpu.models import mixtral
+    from vita_tpu.parallel.distributed import enable_compile_cache
+
+    enable_compile_cache()
 
     import dataclasses
 

@@ -154,3 +154,43 @@ def test_modality_grouped_indices():
         signs = {lengths[j] > 0 for j in pair}
         if len(pair) == 2 and i + 2 <= len(idx) - (len(idx) % 2):
             assert len(signs) == 1, (pair, [lengths[j] for j in pair])
+
+
+def test_dataset_survives_broken_media(tmp_path, capsys):
+    data = [{
+        "conversations": [
+            {"from": "human", "value": "<image>\nq"},
+            {"from": "gpt", "value": "a"},
+        ],
+        "image": str(tmp_path / "missing.png"),
+        "audio": str(tmp_path / "missing.wav"),
+    }]
+    chat = tmp_path / "c.json"
+    chat.write_text(json.dumps(data))
+    ds = ConversationDataset(
+        [DatasetSpec(str(chat))], sp_encode, BOS, EOS, pad_id=PAD,
+        args=DataArgs(image_size=56, max_patches=1, use_thumbnail=False),
+    )
+    sample = ds[0]  # must not raise
+    assert sample["images"].shape[0] == 1
+    assert "WARNING" in capsys.readouterr().out
+
+
+def test_prefetch_loader(tmp_path):
+    import random
+
+    from vita_tpu.data.dataset import Collator
+    from vita_tpu.data.loader import PrefetchLoader
+
+    data = [{"conversations": [{"from": "human", "value": f"q {i}"},
+                               {"from": "gpt", "value": f"a {i}"}]} for i in range(7)]
+    chat = tmp_path / "c.json"
+    chat.write_text(json.dumps(data))
+    ds = ConversationDataset([DatasetSpec(str(chat))], sp_encode, BOS, EOS, pad_id=PAD,
+                             args=DataArgs(image_size=56))
+    loader = PrefetchLoader(ds, order=list(range(7)), batch_size=2,
+                            collate=Collator(pad_id=PAD, buckets=(512,)),
+                            num_workers=2, prefetch=2)
+    batches = list(loader)
+    assert len(loader) == 3 and len(batches) == 3
+    assert all(b["input_ids"].shape == (2, 512) for b in batches)

@@ -33,3 +33,50 @@ def test_sharded_matmul_runs(mesh8):
     out = jax.jit(lambda a, b: a @ b)(xs, ws)
     assert out.shape == (8, 32)
     assert float(out[0, 0]) == 16.0
+
+
+def test_expert_parallel_capacity_moe_on_mesh(mesh8):
+    """Capacity-mode MoE with experts sharded on the 'expert' axis must
+    match the unsharded dense path (GSPMD all-to-all dispatch)."""
+    import dataclasses
+
+    from vita_tpu.models import mixtral as mx
+
+    cfg = mx.MixtralConfig.tiny(n_experts=4)
+    cfg_cap = dataclasses.replace(
+        cfg, moe_mode="capacity", moe_capacity_factor=float(cfg.n_experts)
+    )
+    params = mx.init_params(jax.random.PRNGKey(0), cfg)
+    specs = mx.param_specs(cfg)
+    sharded = jax.tree.map(
+        lambda x, s: jax.device_put(x, jax.sharding.NamedSharding(mesh8, s)),
+        params, specs,
+    )
+    ids = jnp.array([[1, 5, 9, 2]] * 2, jnp.int32)
+    out, _, _ = jax.jit(lambda p, i: mx.forward(p, cfg_cap, input_ids=i))(sharded, ids)
+    ref, _, _ = mx.forward(params, cfg, input_ids=ids)
+    import numpy as np
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_remat_training_grads_match(mesh8):
+    """jax.checkpoint'd layers give identical gradients."""
+    import dataclasses
+
+    import numpy as np
+
+    from vita_tpu.models import mixtral as mx
+
+    cfg = mx.MixtralConfig.tiny()
+    cfg_r = dataclasses.replace(cfg, remat=True)
+    params = mx.init_params(jax.random.PRNGKey(0), cfg)
+    ids = jnp.array([[1, 5, 9, 2]], jnp.int32)
+
+    def loss(p, c):
+        logits, _, _ = mx.forward(p, c, input_ids=ids)
+        return jnp.sum(logits.astype(jnp.float32) ** 2) * 1e-6
+
+    g1 = jax.grad(lambda p: loss(p, cfg))(params)
+    g2 = jax.grad(lambda p: loss(p, cfg_r))(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)

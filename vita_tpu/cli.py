@@ -87,6 +87,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     import jax
     import jax.numpy as jnp
 
+    from vita_tpu.parallel.distributed import enable_compile_cache
+
+    enable_compile_cache()
+
     from vita_tpu.generate import GenerationConfig, Generator
     from vita_tpu.models import vita
 

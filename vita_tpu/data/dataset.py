@@ -126,23 +126,34 @@ class ConversationDataset:
         tiles: List[np.ndarray] = []
         patch_nums: List[int] = [1]
         modality = "lang"
+        # Media loads degrade gracefully: a broken file logs a warning and
+        # falls back to dummy media (the reference prints-and-continues on
+        # bad wavs, ...neg_frameCat.py:904-909 / whale init_model.py:36-39).
         if "image" in sample:
             modality = "image"
-            from PIL import Image
+            try:
+                from PIL import Image
 
-            arr = np.asarray(Image.open(self._media_path(sample, "image")).convert("RGB"))
-            tiles = dynamic_tile(
-                arr, self.args.min_patches, self.args.max_patches,
-                self.args.image_size, self.args.use_thumbnail,
-            )
+                arr = np.asarray(Image.open(self._media_path(sample, "image")).convert("RGB"))
+                tiles = dynamic_tile(
+                    arr, self.args.min_patches, self.args.max_patches,
+                    self.args.image_size, self.args.use_thumbnail,
+                )
+            except Exception as e:
+                print(f"WARNING: cannot load image {sample.get('image')}: {e}")
+                tiles = [np.zeros((self.args.image_size, self.args.image_size, 3), np.uint8)]
             patch_nums = [len(tiles)]
         elif "video" in sample:
             modality = "video"
-            from vita_tpu.data.video import decode_video_frames
+            try:
+                from vita_tpu.data.video import decode_video_frames
 
-            tiles = decode_video_frames(
-                self._media_path(sample, "video"), size=self.args.image_size
-            )
+                tiles = decode_video_frames(
+                    self._media_path(sample, "video"), size=self.args.image_size
+                )
+            except Exception as e:
+                print(f"WARNING: cannot load video {sample.get('video')}: {e}")
+                tiles = [np.zeros((self.args.image_size, self.args.image_size, 3), np.uint8)] * 4
             patch_nums = [1] * len(tiles)
 
         audio_feats = None
@@ -151,7 +162,11 @@ class ConversationDataset:
             if isinstance(path, list):
                 path = path[0]
             full = os.path.join(self.audio_folder, path) if self.audio_folder else path
-            audio_feats, _ = wav_to_features(full)
+            try:
+                audio_feats, _ = wav_to_features(full)
+            except Exception as e:
+                print(f"WARNING: cannot open {full}: {e}")
+                audio_feats = np.zeros((DUMMY_AUDIO_FRAMES, 80), np.float32)
 
         if "video" in sample:
             norm = normalize_media_tokens(

@@ -57,6 +57,7 @@ class MixtralConfig:
     moe_mode: str = "dense"  # 'dense' | 'capacity' (training at scale)
     moe_capacity_factor: float = 1.25
     attn_backend: str = "xla"  # 'xla' | 'flash'
+    remat: bool = False  # jax.checkpoint each layer (trade FLOPs for HBM)
     dtype: Any = jnp.float32
 
     @property
@@ -65,7 +66,9 @@ class MixtralConfig:
 
     @staticmethod
     def vita_8x7b(**kw) -> "MixtralConfig":
-        return MixtralConfig(**{**dict(dtype=jnp.bfloat16), **kw})
+        return MixtralConfig(
+            **{**dict(dtype=jnp.bfloat16, attn_backend="flash", remat=True), **kw}
+        )
 
     @staticmethod
     def tiny(**kw) -> "MixtralConfig":
@@ -314,6 +317,8 @@ def forward(
 
             layer_fn = layer_fn_nocache
 
+        if cfg.remat:
+            layer_fn = jax.checkpoint(layer_fn)
         (x, aux_total), new_kv = jax.lax.scan(
             layer_fn, (inputs_embeds, jnp.zeros((), jnp.float32)), xs
         )

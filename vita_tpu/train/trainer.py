@@ -35,6 +35,7 @@ class RunConfig:
     log_every: int = 1
     seed: int = 42
     resume: bool = True
+    loader_workers: int = 4
 
 
 class Trainer:
@@ -124,13 +125,17 @@ class Trainer:
 
     # -- data -------------------------------------------------------------
     def batches(self, dataset, collator: Collator) -> Iterable[Dict[str, np.ndarray]]:
+        from vita_tpu.data.loader import PrefetchLoader
+
         rng = random.Random(self.run.seed + self.step)
         order = modality_grouped_indices(
             dataset.modality_lengths(), self.run.batch_size, rng
         )
-        bs = self.run.batch_size
-        for i in range(0, len(order) - bs + 1, bs):
-            yield collator([dataset[j] for j in order[i : i + bs]])
+        # background sample building + collation overlaps the TPU step
+        return PrefetchLoader(
+            dataset, order, self.run.batch_size, collator,
+            num_workers=self.run.loader_workers, prefetch=2,
+        )
 
     # -- loop -------------------------------------------------------------
     def train(self, dataset, collator: Optional[Collator] = None) -> List[Dict[str, float]]:
