@@ -85,3 +85,44 @@ def test_tower_factory(name, out_mult):
 def test_tower_factory_unknown():
     with pytest.raises(ValueError, match="unknown vision tower"):
         build_vision_tower("resnet50")
+
+
+def test_eva_clip_tower():
+    from vita_tpu.models import eva_clip as ev
+
+    cfg = ev.EVAConfig.tiny()
+    params = ev.init_params(jax.random.PRNGKey(0), cfg)
+    img = jax.random.normal(jax.random.PRNGKey(1), (2, 56, 56, 3))
+    out = ev.forward(params, cfg, img)
+    assert out.shape == (2, cfg.num_patches, cfg.hidden)
+    assert np.isfinite(np.asarray(out)).all()
+    # CLS dropped: output has exactly grid^2 tokens
+    assert out.shape[1] == cfg.grid**2
+
+
+def test_eva_rope_is_position_sensitive():
+    """Swapping two image patches must change their features differently
+    than a pure permutation (rope injects position)."""
+    from vita_tpu.models import eva_clip as ev
+
+    cfg = ev.EVAConfig.tiny()
+    cos, sin = ev.vision_rope_tables(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, cfg.num_patches, 4, cfg.head_dim))
+    r = ev.apply_vision_rope(x, jnp.asarray(cos), jnp.asarray(sin))
+    # norms preserved (rotation)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(x), axis=-1),
+        np.linalg.norm(np.asarray(r), axis=-1), rtol=1e-4,
+    )
+    # identical content at different positions gets different embeddings
+    x2 = x.at[:, 1].set(x[:, 0])
+    r2 = ev.apply_vision_rope(x2, jnp.asarray(cos), jnp.asarray(sin))
+    assert not np.allclose(np.asarray(r2[:, 0]), np.asarray(r2[:, 1]))
+
+
+def test_factory_eva():
+    t = build_vision_tower("eva-clip-l", tiny=True)
+    assert t.name == "eva-clip"
+    params = t.init(jax.random.PRNGKey(0))
+    out = t.forward(params, jnp.zeros((1, 56, 56, 3)))
+    assert out.shape[-1] == t.out_dim

@@ -58,3 +58,37 @@ def test_unstacked_layers_match_stacked():
     b2, cb, _ = mx.forward(un, cfg, input_ids=ids, cache=cache)
     np.testing.assert_allclose(np.asarray(a2), np.asarray(b2), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(ca["k"]), np.asarray(cb["k"]), rtol=1e-5, atol=1e-5)
+
+
+def test_int8_gather_close_to_dense():
+    from vita_tpu.ops.moe import init_moe_params, moe_ffn
+    from vita_tpu.ops.moe_decode import moe_ffn_decode_q, quantize_expert_weights
+
+    params = init_moe_params(jax.random.PRNGKey(0), n_experts=4, d_model=64, d_ff=256)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64))
+    dense, _ = moe_ffn(params, x, top_k=2, mode="dense")
+    qp = quantize_expert_weights(params)
+    with pltpu.force_tpu_interpret_mode():
+        q_out, _ = moe_ffn_decode_q(qp, x, top_k=2)
+    a = np.asarray(dense).ravel()
+    b = np.asarray(q_out).ravel()
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+    assert cos > 0.999, cos
+    rel = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-9)
+    assert rel < 0.05, rel
+
+
+def test_mixtral_int8_decode_mode():
+    cfg = mx.MixtralConfig.tiny()
+    cfg_q = dataclasses.replace(cfg, moe_mode="gather_q")
+    params = mx.init_params(jax.random.PRNGKey(0), cfg)
+    un = mx.unstack_layers(params)
+    qparams = mx.quantize_moe_for_decode(un)
+    ids = jnp.array([[1, 5, 9]], jnp.int32)
+    ref, _, _ = mx.forward(params, cfg, input_ids=ids)
+    with pltpu.force_tpu_interpret_mode():
+        out, _, _ = mx.forward(qparams, cfg_q, input_ids=ids)
+    a = np.asarray(ref, np.float32).ravel()
+    b = np.asarray(out, np.float32).ravel()
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+    assert cos > 0.99, cos

@@ -133,3 +133,21 @@ def test_trainer_end_to_end_with_resume(tiny_cfg, tmp_path):
     b = jax.tree.leaves(tr2.params)[0]
     if saved_step == tr.step:
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_evaluate_perplexity(tiny_cfg, tmp_path):
+    import json as _json
+
+    from vita_tpu.data.dataset import Collator, ConversationDataset, DataArgs, DatasetSpec
+    from vita_tpu.train.trainer import evaluate
+
+    data = [{"conversations": [{"from": "human", "value": f"q {i}"},
+                               {"from": "gpt", "value": f"answer number {i}"}]} for i in range(4)]
+    chat = tmp_path / "c.json"
+    chat.write_text(_json.dumps(data))
+    ds = ConversationDataset([DatasetSpec(str(chat))], sp_encode, BOS, EOS, pad_id=PAD,
+                             args=DataArgs(image_size=tiny_cfg.vision.image_size))
+    params = vita.init_params(jax.random.PRNGKey(0), tiny_cfg)
+    m = evaluate(params, tiny_cfg, ds, Collator(pad_id=PAD, buckets=(512,)), batch_size=2)
+    assert m["eval_tokens"] > 0
+    assert 1.0 < m["eval_ppl"] < tiny_cfg.llm.vocab_size * 10

@@ -158,6 +158,23 @@ def unstack_layers(params: Params) -> Params:
     return out
 
 
+def quantize_moe_for_decode(params: Params) -> Params:
+    """int8-quantize every layer's expert weights (weight-only) for the
+    'gather_q' decode mode. Use on UNSTACKED params (see unstack_layers);
+    all non-expert weights stay in their original dtype."""
+    from vita_tpu.ops.moe_decode import quantize_expert_weights
+
+    out = dict(params)
+    if isinstance(params["layers"], (list, tuple)):
+        out["layers"] = [
+            {**lp, "moe": quantize_expert_weights(lp["moe"])} for lp in params["layers"]
+        ]
+    else:
+        out["layers"] = dict(params["layers"])
+        out["layers"]["moe"] = quantize_expert_weights(params["layers"]["moe"])
+    return out
+
+
 def init_kv_cache(
     cfg: MixtralConfig, batch: int, max_len: int, dtype=None
 ) -> Params:

@@ -15,6 +15,7 @@ from typing import Any, Callable, Dict, Tuple
 import jax.numpy as jnp
 
 from vita_tpu.models import clip as clip_mod
+from vita_tpu.models import eva_clip as eva_mod
 from vita_tpu.models import internvit as internvit_mod
 from vita_tpu.models import siglip as siglip_mod
 
@@ -61,6 +62,12 @@ def build_vision_tower(name: str, tiny: bool = False, **overrides) -> Tower:
         return Tower(
             "siglip", cfg, functools.partial(siglip_mod.init_params, cfg=cfg),
             lambda p, x: siglip_mod.forward(p, cfg, x), cfg.out_dim,
+        )
+    if "eva" in lname:
+        cfg = eva_mod.EVAConfig.tiny(**overrides) if tiny else eva_mod.EVAConfig(**overrides)
+        return Tower(
+            "eva-clip", cfg, functools.partial(eva_mod.init_params, cfg=cfg),
+            lambda p, x: eva_mod.forward(p, cfg, x), cfg.out_dim,
         )
     if "clip" in lname:
         cfg = clip_mod.CLIPConfig.tiny(**overrides) if tiny else clip_mod.CLIPConfig(**overrides)

@@ -118,3 +118,115 @@ def moe_ffn_decode(
     )  # [T, k, D]
     out = jnp.sum(expert_out * topk_w[..., None].astype(x.dtype), axis=1)
     return out.astype(x.dtype), jnp.zeros((), jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# int8 weight-only experts (2x less HBM traffic on the dominant stream)
+# ---------------------------------------------------------------------------
+def quantize_expert_weights(params) -> dict:
+    """Per-output-channel symmetric int8 quantization of the expert mats.
+
+    Replaces the reference's optional bitsandbytes 4/8-bit path
+    (vita/train/train.py:217-237) with a TPU-native weight-only scheme:
+    int8 values stream from HBM (half the bytes of bf16), dequantized in
+    VMEM right before the MXU matmul. Router stays full precision.
+    """
+    out = {"router": params["router"]}
+    for name in ("w_gate", "w_up", "w_down"):
+        w = params[name].astype(jnp.float32)  # [E, A, B]
+        scale = jnp.max(jnp.abs(w), axis=1, keepdims=True) / 127.0  # [E, 1, B]
+        scale = jnp.maximum(scale, 1e-8)
+        q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+        out[name] = q
+        out[name + "_scale"] = scale.astype(jnp.float32)
+    return out
+
+
+def _gather_ffn_kernel_q(
+    idx_ref,
+    x_ref,  # [1, 8, D]
+    wg_ref,  # [1, D, bf] int8
+    wgs_ref,  # [1, 1, bf] f32 scales
+    wu_ref, wus_ref,
+    wd_ref,  # [1, bf, D] int8
+    wds_ref,  # [1, 1, D] f32
+    out_ref,  # [1, 8, D]
+    acc_ref,  # [8, D] f32
+):
+    fi = pl.program_id(1)
+    nf = pl.num_programs(1)
+
+    @pl.when(fi == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[0]  # [8, D]
+    wg = wg_ref[0].astype(jnp.bfloat16)
+    wu = wu_ref[0].astype(jnp.bfloat16)
+    gate = jax.lax.dot_general(
+        x, wg, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * wgs_ref[0]
+    up = jax.lax.dot_general(
+        x, wu, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * wus_ref[0]
+    h = jax.nn.silu(gate) * up
+    wd = wd_ref[0].astype(jnp.bfloat16)
+    acc_ref[...] += jax.lax.dot_general(
+        h.astype(jnp.bfloat16), wd, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * wds_ref[0]
+
+    @pl.when(fi == nf - 1)
+    def _finish():
+        out_ref[0] = acc_ref[...].astype(out_ref.dtype)
+
+
+def gather_expert_ffn_q(
+    x: jnp.ndarray,  # [T, D]
+    topk_idx: jnp.ndarray,  # [T, k]
+    qparams: dict,
+    block_f: int = 512,  # int8 blocks are half-size: 512 fits VMEM
+) -> jnp.ndarray:
+    t, d = x.shape
+    k = topk_idx.shape[1]
+    e, _, f = qparams["w_gate"].shape
+    bf = min(block_f, f)
+    nf = (f + bf - 1) // bf
+
+    flat_idx = topk_idx.reshape(t * k).astype(jnp.int32)
+    x_rep = jnp.broadcast_to(jnp.repeat(x, k, axis=0)[:, None, :], (t * k, 8, d))
+
+    out = pl.pallas_call(
+        _gather_ffn_kernel_q,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(t * k, nf),
+            in_specs=[
+                pl.BlockSpec((1, 8, d), lambda r, fi, idx: (r, 0, 0)),
+                pl.BlockSpec((1, d, bf), lambda r, fi, idx: (idx[r], 0, fi)),
+                pl.BlockSpec((1, 1, bf), lambda r, fi, idx: (idx[r], 0, fi)),
+                pl.BlockSpec((1, d, bf), lambda r, fi, idx: (idx[r], 0, fi)),
+                pl.BlockSpec((1, 1, bf), lambda r, fi, idx: (idx[r], 0, fi)),
+                pl.BlockSpec((1, bf, d), lambda r, fi, idx: (idx[r], fi, 0)),
+                pl.BlockSpec((1, 1, d), lambda r, fi, idx: (idx[r], 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 8, d), lambda r, fi, idx: (r, 0, 0)),
+            scratch_shapes=[pltpu.VMEM((8, d), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((t * k, 8, d), x.dtype),
+    )(flat_idx, x_rep, qparams["w_gate"], qparams["w_gate_scale"],
+      qparams["w_up"], qparams["w_up_scale"],
+      qparams["w_down"], qparams["w_down_scale"])
+    return out[:, 0].reshape(t, k, d)
+
+
+def moe_ffn_decode_q(qparams: dict, x: jnp.ndarray, top_k: int = 2):
+    """int8 weight-only decode MoE: route in fp32, compute with dequantized
+    selected experts. Returns (out [T, D], aux=0)."""
+    router_logits = jnp.einsum(
+        "td,de->te", x.astype(jnp.float32), qparams["router"].astype(jnp.float32)
+    )
+    topk_w, topk_i, _ = route_topk(router_logits, top_k)
+    expert_out = gather_expert_ffn_q(x, topk_i, qparams)
+    out = jnp.sum(expert_out * topk_w[..., None].astype(x.dtype), axis=1)
+    return out.astype(x.dtype), jnp.zeros((), jnp.float32)

@@ -165,3 +165,50 @@ class Trainer:
             for m in self.metrics_log:
                 f.write(json.dumps(m) + "\n")
         return self.metrics_log
+
+
+def make_eval_step(cfg: vita.VITAConfig):
+    """Jitted eval step: masked token NLL sums for perplexity."""
+    from vita_tpu.constants import IGNORE_INDEX
+
+    def step(params, batch):
+        logits, _, _ = vita.forward(
+            params, cfg,
+            batch["input_ids"],
+            image_mask=batch.get("image_mask"),
+            audio_mask=batch.get("audio_mask"),
+            images=batch.get("images"),
+            speech=batch.get("speech"),
+            speech_lengths=batch.get("speech_lengths"),
+            attn_valid=batch.get("attn_valid"),
+        )
+        logits = logits[:, :-1]
+        labels = batch["labels"][:, 1:]
+        mask = labels != IGNORE_INDEX
+        safe = jnp.where(mask, labels, 0)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        return jnp.sum(nll * mask), mask.sum()
+
+    return jax.jit(step)
+
+
+def evaluate(params, cfg: vita.VITAConfig, dataset, collator: Collator,
+             batch_size: int = 8, max_batches: Optional[int] = None) -> Dict[str, float]:
+    """Perplexity over a held-out conversation dataset (the reference has
+    no eval loop at all — this fills SURVEY §4's gap for numeric evals)."""
+    step = make_eval_step(cfg)
+    total_nll = 0.0
+    total_tok = 0
+    n = len(dataset)
+    for bi, i in enumerate(range(0, n - batch_size + 1, batch_size)):
+        if max_batches is not None and bi >= max_batches:
+            break
+        batch = collator([dataset[j] for j in range(i, i + batch_size)])
+        jbatch = {k: jnp.asarray(v) for k, v in batch.items() if k != "tiles_per_sample"}
+        nll, tok = step(params, jbatch)
+        total_nll += float(nll)
+        total_tok += int(tok)
+    ppl = float(np.exp(total_nll / max(total_tok, 1)))
+    return {"eval_nll": total_nll / max(total_tok, 1), "eval_ppl": ppl,
+            "eval_tokens": total_tok}
