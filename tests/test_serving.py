@@ -202,3 +202,28 @@ def test_vad_ignores_silence():
     for c in np.zeros((20, CHUNK_SAMPLES), np.float32):
         assert vad.process(c) is None
     assert not vad.in_speech
+
+
+@pytest.mark.parametrize("mode", ["gather", "gather_q"])
+def test_engine_quantized_decode_modes(tiny, mode):
+    """Engine with Pallas decode modes: gather matches dense exactly;
+    gather_q (int8) produces valid tokens."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    cfg, params = tiny
+    prompt = np.array([1, 50, 60, 70], np.int32)
+    ref_eng = Engine(params, cfg, n_slots=1, max_len=64)
+    r0 = Request(input_ids=prompt, max_new_tokens=5, eos_id=-1)
+    ref_eng.submit(r0)
+    ref_eng.run_until_idle()
+
+    with pltpu.force_tpu_interpret_mode():
+        eng = Engine(params, cfg, n_slots=1, max_len=64, decode_moe_mode=mode)
+        r1 = Request(input_ids=prompt, max_new_tokens=5, eos_id=-1)
+        eng.submit(r1)
+        eng.run_until_idle()
+    if mode == "gather":
+        assert r1.tokens == r0.tokens
+    else:
+        assert len(r1.tokens) == 5  # int8: tokens may differ, must be valid
+        assert all(0 <= t < cfg.llm.vocab_size for t in r1.tokens)

@@ -62,12 +62,30 @@ class Engine:
         n_slots: int = 4,
         max_len: int = 4096,
         seed: int = 0,
+        decode_moe_mode: str = "dense",  # 'dense' | 'gather' | 'gather_q'
     ):
         self.params = params
         self.cfg = cfg
         self.n_slots = n_slots
         self.max_len = max_len
         self.rng = np.random.default_rng(seed)
+
+        if decode_moe_mode not in ("dense", "gather", "gather_q"):
+            raise ValueError(
+                f"decode_moe_mode must be dense|gather|gather_q, got {decode_moe_mode!r}"
+            )
+        # Decode-optimized LLM view: unstacked layers (no scan-slice operand
+        # copies into Pallas kernels) and optionally int8 experts.
+        import dataclasses as _dc
+
+        self._decode_llm_cfg = _dc.replace(cfg.llm, moe_mode=decode_moe_mode)
+        if decode_moe_mode in ("gather", "gather_q"):
+            dec = mixtral.unstack_layers(params["llm"])
+            if decode_moe_mode == "gather_q":
+                dec = mixtral.quantize_moe_for_decode(dec)
+            self._decode_llm = dec
+        else:
+            self._decode_llm = params["llm"]
 
         self.cache = mixtral.init_kv_cache(cfg.llm, n_slots, max_len)
         self.pos = np.zeros(n_slots, np.int32)  # host-side slot depths
@@ -106,8 +124,10 @@ class Engine:
             v = jax.lax.dynamic_update_slice(cache["v"], slot_v, (0, slot, 0, 0, 0))
             return {"k": k, "v": v, "pos": cache["pos"]}
 
+        decode_cfg = self._decode_llm_cfg
+
         @jax.jit
-        def _step(params, cache, toks, pos, active):
+        def _step(llm_params, cache, toks, pos, active):
             # inactive slots write past the cache end (dropped) and are
             # masked out of attention
             write_pos = jnp.where(active, pos, max_len)
@@ -115,7 +135,7 @@ class Engine:
             valid = jnp.arange(max_len)[None, :] <= pos[:, None]
             valid &= active[:, None]
             logits, new_cache, _ = mixtral.forward(
-                params["llm"], llm, input_ids=toks[:, None],
+                llm_params, decode_cfg, input_ids=toks[:, None],
                 positions=pos[:, None], attn_valid=valid, cache=c,
             )
             return logits[:, -1], {"k": new_cache["k"], "v": new_cache["v"],
@@ -162,7 +182,7 @@ class Engine:
         active = np.zeros(self.n_slots, bool)
         active[active_idx] = True
         logits, self.cache = self._step(
-            self.params, self.cache,
+            self._decode_llm, self.cache,
             jnp.asarray(self._last_tok), jnp.asarray(self.pos), jnp.asarray(active),
         )
         logits = np.asarray(logits)
