@@ -48,12 +48,11 @@ def main() -> None:
     cfg = mixtral.MixtralConfig(
         n_layers=N_LAYERS_BENCH, moe_mode="dense", dtype=jnp.bfloat16
     )
-    # decode uses the Pallas gather kernel over UNSTACKED layers (whole
-    # expert arrays as kernel operands — scan slices would force 2.8 GB
-    # copies per layer); prefill keeps the dense einsum (parallel tokens).
+    # decode uses the Pallas gather kernel over the STACKED expert arrays
+    # (flat layer*E+expert indexing — zero weight copies); prefill keeps
+    # the dense einsum (parallel tokens).
     cfg_decode = dataclasses.replace(cfg, moe_mode="gather")
     params = mixtral.init_params(jax.random.PRNGKey(0), cfg)
-    params_u = mixtral.unstack_layers(params)
     param_bytes = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
 
     @jax.jit
@@ -76,14 +75,14 @@ def main() -> None:
     _ = int(tok[0])
     prefill_time = time.time() - t0  # includes compile
 
-    tok, cache = step(params_u, tok, cache)
+    tok, cache = step(params, tok, cache)
     _ = int(tok[0])  # warm decode graph
 
     def run(n):
         t, c = tok, cache
         t0 = time.time()
         for _ in range(n):
-            t, c = step(params_u, t, c)
+            t, c = step(params, t, c)
         _ = int(t[0])  # single synchronizing readback
         return time.time() - t0
 

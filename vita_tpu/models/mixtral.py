@@ -160,8 +160,9 @@ def unstack_layers(params: Params) -> Params:
 
 def quantize_moe_for_decode(params: Params) -> Params:
     """int8-quantize every layer's expert weights (weight-only) for the
-    'gather_q' decode mode. Use on UNSTACKED params (see unstack_layers);
-    all non-expert weights stay in their original dtype."""
+    'gather_q' decode mode. Works on stacked or unstacked params; all
+    non-expert weights stay in their original dtype (shared, not copied,
+    with the source pytree)."""
     from vita_tpu.ops.moe_decode import quantize_expert_weights
 
     out = dict(params)
@@ -294,16 +295,84 @@ def forward(
         x = x + moe_out.reshape(b, s, d)
         return (x, aux_sum + aux), (nk, nv)
 
-    if isinstance(params["layers"], (list, tuple)):
-        # Unstacked layers (see unstack_layers): python loop — unrolled at
-        # trace time; each layer's arrays are direct kernel operands.
+    gather_mode = cfg.moe_mode in ("gather", "gather_q")
+    if isinstance(params["layers"], (list, tuple)) or gather_mode:
+        # Python layer loop (unrolled at trace time). Used for unstacked
+        # params (see unstack_layers) and for the Pallas gather decode
+        # modes: the gather kernels consume the STACKED expert arrays
+        # reshaped [L*E, ...] (a free metadata reshape) with flat expert
+        # indices layer*E + topk — no per-layer weight copies at all (a
+        # lax.scan slice would materialize 2.8 GB per layer as the
+        # custom-call operand, and unstacking would double weight HBM).
+        layers = params["layers"]
+        stacked = not isinstance(layers, (list, tuple))
+        moe_flat = None
+        if gather_mode and stacked:
+            m = layers["moe"]
+            moe_flat = {
+                k: v.reshape((-1,) + v.shape[2:])
+                for k, v in m.items()
+                if k != "router"
+            }
+
+        def moe_gather_layer(h2d, moe_lp, layer_idx):
+            from vita_tpu.ops.moe_decode import gather_expert_ffn, gather_expert_ffn_q
+
+            router_logits = jnp.einsum(
+                "td,de->te", h2d.astype(jnp.float32), moe_lp["router"].astype(jnp.float32)
+            )
+            topk_w, topk_i, probs = route_topk(router_logits, cfg.top_k)
+            aux = load_balancing_loss(probs, topk_i, cfg.n_experts, tm_flat)
+            if moe_flat is not None:
+                idx = topk_i + layer_idx * cfg.n_experts
+                src = moe_flat
+            else:
+                idx = topk_i
+                src = moe_lp
+            if cfg.moe_mode == "gather_q":
+                eo = gather_expert_ffn_q(h2d, idx, src)
+            else:
+                eo = gather_expert_ffn(h2d, idx, src["w_gate"], src["w_up"], src["w_down"])
+            out = jnp.sum(eo * topk_w[..., None].astype(h2d.dtype), axis=1)
+            return out.astype(h2d.dtype), aux
+
         x = inputs_embeds
         aux_total = jnp.zeros((), jnp.float32)
         new_ks, new_vs = [], []
-        for i, lp in enumerate(params["layers"]):
+        n_layers = cfg.n_layers if stacked else len(layers)
+        for i in range(n_layers):
+            if stacked:
+                lp = {
+                    "attn": jax.tree.map(lambda a: a[i], layers["attn"]),
+                    "ln_attn": layers["ln_attn"][i],
+                    "ln_moe": layers["ln_moe"][i],
+                    # gather modes read experts from moe_flat; only the
+                    # router is needed per layer
+                    "moe": {"router": layers["moe"]["router"][i]}
+                    if gather_mode
+                    else jax.tree.map(lambda a: a[i], layers["moe"]),
+                }
+            else:
+                lp = layers[i]
             ck = cache["k"][i] if cache is not None else None
             cv = cache["v"][i] if cache is not None else None
-            (x, aux_total), (nk, nv) = layer_fn((x, aux_total), (lp, ck, cv))
+            h = rms_norm(x, lp["ln_attn"], cfg.rms_eps)
+            attn_out, nk, nv = _attention_block(
+                lp["attn"], cfg, h, positions, attn_valid, ck, cv,
+                cache["pos"] if cache is not None else None,
+            )
+            x = x + attn_out
+            h = rms_norm(x, lp["ln_moe"], cfg.rms_eps)
+            if gather_mode:
+                moe_out, aux = moe_gather_layer(h.reshape(b * s, d), lp["moe"], i)
+            else:
+                moe_out, aux = moe_ffn(
+                    lp["moe"], h.reshape(b * s, d), cfg.top_k,
+                    mode=cfg.moe_mode, capacity_factor=cfg.moe_capacity_factor,
+                    token_mask=tm_flat,
+                )
+            x = x + moe_out.reshape(b, s, d)
+            aux_total = aux_total + aux
             if cache is not None:
                 new_ks.append(nk)
                 new_vs.append(nv)

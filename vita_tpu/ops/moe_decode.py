@@ -131,14 +131,23 @@ def quantize_expert_weights(params) -> dict:
     int8 values stream from HBM (half the bytes of bf16), dequantized in
     VMEM right before the MXU matmul. Router stays full precision.
     """
+    @jax.jit
+    def _q_one(w):
+        wf = w.astype(jnp.float32)  # [E, A, B]
+        scale = jnp.maximum(jnp.max(jnp.abs(wf), axis=-2, keepdims=True) / 127.0, 1e-8)
+        q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+        return q, scale.astype(jnp.float32)
+
     out = {"router": params["router"]}
     for name in ("w_gate", "w_up", "w_down"):
-        w = params[name].astype(jnp.float32)  # [E, A, B]
-        scale = jnp.max(jnp.abs(w), axis=1, keepdims=True) / 127.0  # [E, 1, B]
-        scale = jnp.maximum(scale, 1e-8)
-        q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
-        out[name] = q
-        out[name + "_scale"] = scale.astype(jnp.float32)
+        w = params[name]
+        if w.ndim == 4:  # [L, E, A, B] — quantize per layer to bound the
+            # fp32 temporaries (a whole-stack fp32 cast would OOM HBM)
+            qs = [_q_one(w[l]) for l in range(w.shape[0])]
+            out[name] = jnp.stack([q for q, _ in qs])
+            out[name + "_scale"] = jnp.stack([sc for _, sc in qs])
+        else:
+            out[name], out[name + "_scale"] = _q_one(w)
     return out
 
 

@@ -62,7 +62,7 @@ class Engine:
         n_slots: int = 4,
         max_len: int = 4096,
         seed: int = 0,
-        decode_moe_mode: str = "dense",  # 'dense' | 'gather' | 'gather_q'
+        decode_moe_mode: Optional[str] = None,  # None=inherit cfg.llm.moe_mode
     ):
         self.params = params
         self.cfg = cfg
@@ -70,20 +70,21 @@ class Engine:
         self.max_len = max_len
         self.rng = np.random.default_rng(seed)
 
-        if decode_moe_mode not in ("dense", "gather", "gather_q"):
+        # Decode MoE path. None inherits cfg.llm.moe_mode so prefill and
+        # decode use the same math by default; 'gather' reads only the
+        # selected experts (same weights, zero copies — the kernel indexes
+        # the stacked arrays directly); 'gather_q' additionally keeps an
+        # int8 expert copy (~half the expert bytes) for 2x faster decode.
+        if decode_moe_mode is None:
+            decode_moe_mode = cfg.llm.moe_mode
+        if decode_moe_mode not in ("dense", "capacity", "gather", "gather_q"):
             raise ValueError(
-                f"decode_moe_mode must be dense|gather|gather_q, got {decode_moe_mode!r}"
+                f"decode_moe_mode must be dense|capacity|gather|gather_q, "
+                f"got {decode_moe_mode!r}"
             )
-        # Decode-optimized LLM view: unstacked layers (no scan-slice operand
-        # copies into Pallas kernels) and optionally int8 experts.
-        import dataclasses as _dc
-
-        self._decode_llm_cfg = _dc.replace(cfg.llm, moe_mode=decode_moe_mode)
-        if decode_moe_mode in ("gather", "gather_q"):
-            dec = mixtral.unstack_layers(params["llm"])
-            if decode_moe_mode == "gather_q":
-                dec = mixtral.quantize_moe_for_decode(dec)
-            self._decode_llm = dec
+        self._decode_llm_cfg = dataclasses.replace(cfg.llm, moe_mode=decode_moe_mode)
+        if decode_moe_mode == "gather_q":
+            self._decode_llm = mixtral.quantize_moe_for_decode(params["llm"])
         else:
             self._decode_llm = params["llm"]
 
