@@ -227,3 +227,14 @@ def test_engine_quantized_decode_modes(tiny, mode):
     else:
         assert len(r1.tokens) == 5  # int8: tokens may differ, must be valid
         assert all(0 <= t < cfg.llm.vocab_size for t in r1.tokens)
+
+
+def test_engine_stats(tiny):
+    cfg, params = tiny
+    eng = Engine(params, cfg, n_slots=1, max_len=64)
+    eng.submit(Request(input_ids=np.array([1, 5], np.int32), max_new_tokens=4, eos_id=-1))
+    eng.run_until_idle()
+    st = eng.stats()
+    assert st["completed"] == 1
+    assert st["ttft_p50_s"] >= 0
+    assert "decode_tokens_per_s_mean" in st

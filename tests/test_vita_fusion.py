@@ -137,3 +137,48 @@ def test_generate_top_p(tiny_cfg, tiny_params):
                      gen=GenerationConfig(max_new_tokens=4, temperature=1.0, top_p=0.8, eos_id=-1),
                      seed=3)
     assert len(out) == 4
+
+
+def test_vita_with_alternative_tower():
+    """The fused model accepts a non-default vision tower (SigLIP)."""
+    import dataclasses
+
+    from vita_tpu.models import siglip
+
+    cfg = vita.VITAConfig.tiny()
+    cfg = dataclasses.replace(cfg, vision=siglip.SigLIPConfig.tiny(), vision_tower="siglip")
+    params = vita.init_params(jax.random.PRNGKey(0), cfg)
+    n_tok = cfg.vision.out_tokens
+    ids = [1] + [IMAGE_TOKEN_INDEX] * n_tok + [5]
+    safe, im, am = media_masks(np.array(ids))
+    sz = cfg.vision.image_size
+    logits, _, _ = vita.forward(
+        params, cfg,
+        jnp.asarray(safe)[None], jnp.asarray(im)[None], jnp.asarray(am)[None],
+        images=jnp.zeros((1, sz, sz, 3)),
+    )
+    assert logits.shape == (1, len(ids), cfg.llm.vocab_size)
+    # sharding specs exist for the alt tower (replicated fallback)
+    specs = vita.param_specs(cfg)
+    assert len(jax.tree.leaves(specs["vision"], is_leaf=lambda x: hasattr(x, "index"))) > 0
+
+
+def test_vita_unknown_tower_raises():
+    import dataclasses
+
+    cfg = dataclasses.replace(vita.VITAConfig.tiny(), vision_tower="resnet")
+    with pytest.raises(ValueError, match="unknown vision_tower"):
+        vita.init_params(jax.random.PRNGKey(0), cfg)
+
+
+def test_internvit_dynamic_resolution():
+    """Non-default (but patch-aligned) input sizes work via pos-embed
+    interpolation; wrong sizes raise a clear error."""
+    from vita_tpu.models import internvit as iv
+
+    cfg = iv.InternViTConfig.tiny()  # trained at 56 (grid 4)
+    params = iv.init_params(jax.random.PRNGKey(0), cfg)
+    out = iv.forward(params, cfg, jnp.zeros((1, 84, 84, 3)))  # grid 6
+    assert out.shape == (1, 9, cfg.out_dim)  # (6*0.5)^2 tokens
+    with pytest.raises(ValueError, match="square images"):
+        iv.forward(params, cfg, jnp.zeros((1, 84, 70, 3)))

@@ -58,6 +58,10 @@ class EVAConfig:
         return int(self.hidden * self.mlp_ratio)
 
     @property
+    def out_tokens(self) -> int:
+        return self.num_patches
+
+    @property
     def out_dim(self) -> int:
         return self.hidden
 

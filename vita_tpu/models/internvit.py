@@ -155,16 +155,40 @@ def pixel_shuffle(x: jnp.ndarray, scale: float = 0.5) -> jnp.ndarray:
     return x
 
 
+def interpolate_pos_embed(pos: jnp.ndarray, src_grid: int, dst_grid: int) -> jnp.ndarray:
+    """Bicubic-resize the patch position table [1, src^2+1, D] to dst^2+1
+    (reference: modeling_intern_vit.py _get_pos_embed, :92-106). CLS slot
+    passes through."""
+    if src_grid == dst_grid:
+        return pos
+    cls, patch = pos[:, :1], pos[:, 1:]
+    d = patch.shape[-1]
+    grid = patch.reshape(1, src_grid, src_grid, d).astype(jnp.float32)
+    grid = jax.image.resize(grid, (1, dst_grid, dst_grid, d), method="cubic")
+    return jnp.concatenate([cls, grid.reshape(1, dst_grid * dst_grid, d).astype(pos.dtype)], axis=1)
+
+
 def forward(params: Params, cfg: InternViTConfig, images: jnp.ndarray) -> jnp.ndarray:
-    """images [B, H, W, 3] (preprocessed pixels) -> features [B, T, out_dim]."""
-    b = images.shape[0]
+    """images [B, H, W, 3] (preprocessed pixels) -> features [B, T, out_dim].
+
+    Square inputs whose side is a multiple of patch_size are accepted; the
+    learned position table is bicubically interpolated for non-default
+    resolutions (448 is the trained/tiled default).
+    """
+    b, ih, iw = images.shape[:3]
+    if ih != iw or ih % cfg.patch_size:
+        raise ValueError(
+            f"InternViT expects square images with side % {cfg.patch_size} == 0, got {ih}x{iw}"
+        )
     d = cfg.hidden
+    in_grid = ih // cfg.patch_size
 
     x = patchify(images.astype(cfg.dtype), cfg.patch_size)
     x = x @ params["patch_embed"]["w"] + params["patch_embed"]["b"]
     cls = jnp.broadcast_to(params["cls"], (b, 1, d)).astype(x.dtype)
     x = jnp.concatenate([cls, x], axis=1)
-    x = x + params["pos_embed"].astype(x.dtype)
+    pos = interpolate_pos_embed(params["pos_embed"], cfg.grid, in_grid)
+    x = x + pos.astype(x.dtype)
 
     def layer_fn(x, lp):
         h = layer_norm(x, lp["norm1_w"], lp["norm1_b"], cfg.ln_eps)
@@ -182,7 +206,8 @@ def forward(params: Params, cfg: InternViTConfig, images: jnp.ndarray) -> jnp.nd
     x, _ = jax.lax.scan(layer_fn, x, params["layers"])
 
     feats = x[:, 1:]  # drop CLS (internvit_encoder.py:36-40, select_layer=-1)
-    g = cfg.grid
+    g = in_grid
     feats = feats.reshape(b, g, g, d)
     feats = pixel_shuffle(feats * cfg.pixel_shuffle_scale, cfg.pixel_shuffle_scale)
-    return feats.reshape(b, cfg.out_tokens, cfg.out_dim)
+    n_tok = int(g * g * cfg.pixel_shuffle_scale**2)
+    return feats.reshape(b, n_tok, cfg.out_dim)

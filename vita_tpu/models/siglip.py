@@ -45,6 +45,10 @@ class SigLIPConfig:
         return self.grid * self.grid
 
     @property
+    def out_tokens(self) -> int:
+        return self.num_patches
+
+    @property
     def out_dim(self) -> int:
         return self.hidden
 

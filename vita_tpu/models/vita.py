@@ -21,7 +21,16 @@ import jax
 import jax.numpy as jnp
 
 from vita_tpu.constants import IGNORE_INDEX
-from vita_tpu.models import internvit, mixtral, projectors, whale
+from vita_tpu.models import clip, eva_clip, internvit, mixtral, projectors, siglip, whale
+
+# Vision tower registry (the build_vision_tower dispatch of
+# multimodal_encoder/builder.py:12-38, applied to the fused model).
+_TOWER_MODULES = {
+    "internvit": internvit,
+    "clip": clip,
+    "siglip": siglip,
+    "eva": eva_clip,
+}
 
 Params = Dict[str, Any]
 
@@ -29,11 +38,20 @@ Params = Dict[str, Any]
 @dataclasses.dataclass(frozen=True)
 class VITAConfig:
     llm: mixtral.MixtralConfig = dataclasses.field(default_factory=mixtral.MixtralConfig)
-    vision: internvit.InternViTConfig = dataclasses.field(
-        default_factory=internvit.InternViTConfig
-    )
+    vision: Any = dataclasses.field(default_factory=internvit.InternViTConfig)
     audio: whale.WhaleConfig = dataclasses.field(default_factory=whale.WhaleConfig)
     audio_adapter_kernel: int = 5
+    vision_tower: str = "internvit"  # registry key into _TOWER_MODULES
+
+    @property
+    def tower_module(self):
+        try:
+            return _TOWER_MODULES[self.vision_tower]
+        except KeyError:
+            raise ValueError(
+                f"unknown vision_tower {self.vision_tower!r}; "
+                f"known: {sorted(_TOWER_MODULES)}"
+            ) from None
 
     @staticmethod
     def vita_8x7b(**kw) -> "VITAConfig":
@@ -61,7 +79,7 @@ def init_params(rng: jax.Array, cfg: VITAConfig) -> Params:
     d_llm = cfg.llm.d_model
     return {
         "llm": mixtral.init_params(k[0], cfg.llm),
-        "vision": internvit.init_params(k[1], cfg.vision),
+        "vision": cfg.tower_module.init_params(k[1], cfg.vision),
         "vision_proj": projectors.init_vision_projector(
             k[2], cfg.vision.out_dim, d_llm, cfg.llm.dtype
         ),
@@ -73,9 +91,19 @@ def init_params(rng: jax.Array, cfg: VITAConfig) -> Params:
 
 
 def param_specs(cfg: VITAConfig) -> Params:
+    from jax.sharding import PartitionSpec
+
+    if hasattr(cfg.tower_module, "param_specs"):
+        tower_specs = cfg.tower_module.param_specs(cfg.vision)
+    else:
+        # alternative towers are small (<=1B): replicate
+        shapes = jax.eval_shape(
+            lambda: cfg.tower_module.init_params(jax.random.PRNGKey(0), cfg.vision)
+        )
+        tower_specs = jax.tree.map(lambda _: PartitionSpec(), shapes)
     return {
         "llm": mixtral.param_specs(cfg.llm),
-        "vision": internvit.param_specs(cfg.vision),
+        "vision": tower_specs,
         "vision_proj": projectors.vision_projector_specs(),
         "audio": whale.param_specs(cfg.audio),
         "audio_proj": projectors.audio_projector_specs(),
@@ -83,8 +111,8 @@ def param_specs(cfg: VITAConfig) -> Params:
 
 
 def encode_images(params: Params, cfg: VITAConfig, images: jnp.ndarray) -> jnp.ndarray:
-    """images [N_tiles, H, W, 3] -> LLM-space features [N_tiles, 256, D]."""
-    feats = internvit.forward(params["vision"], cfg.vision, images)
+    """images [N_tiles, H, W, 3] -> LLM-space features [N_tiles, T, D]."""
+    feats = cfg.tower_module.forward(params["vision"], cfg.vision, images)
     return projectors.vision_projector(params["vision_proj"], feats)
 
 

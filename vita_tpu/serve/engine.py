@@ -47,9 +47,21 @@ class Request:
     # runtime state
     cancelled: bool = False
     tokens: List[int] = dataclasses.field(default_factory=list)
+    submit_time: float = 0.0
+    first_token_time: float = 0.0
+    finish_time: float = 0.0
 
     def cancel(self) -> None:
         self.cancelled = True
+
+    @property
+    def ttft_s(self) -> float:
+        return max(self.first_token_time - self.submit_time, 0.0)
+
+    @property
+    def decode_tokens_per_s(self) -> float:
+        dt = self.finish_time - self.first_token_time
+        return (len(self.tokens) - 1) / dt if dt > 0 and len(self.tokens) > 1 else 0.0
 
 
 class Engine:
@@ -147,6 +159,7 @@ class Engine:
         self._install = _install
         self._step = _step
         self._last_tok = np.zeros(n_slots, np.int32)
+        self._finished: List[Request] = []
 
     # -- public API -------------------------------------------------------
     def submit(self, req: Request) -> Request:
@@ -155,8 +168,26 @@ class Engine:
                 f"request needs {len(req.input_ids) + req.max_new_tokens} slots, "
                 f"cache holds {self.max_len}"
             )
+        req.submit_time = time.time()
         self.queue.put(req)
         return req
+
+    def stats(self) -> Dict[str, float]:
+        """Aggregate serving metrics (p50 TTFT is the BASELINE.md target)."""
+        done = self._finished
+        out: Dict[str, float] = {
+            "active": float(self.active_count()),
+            "queued": float(self.queue.qsize()),
+            "completed": float(len(done)),
+        }
+        if done:
+            ttfts = sorted(r.ttft_s for r in done)
+            tps = [r.decode_tokens_per_s for r in done if r.decode_tokens_per_s > 0]
+            out["ttft_p50_s"] = ttfts[len(ttfts) // 2]
+            out["ttft_max_s"] = ttfts[-1]
+            if tps:
+                out["decode_tokens_per_s_mean"] = sum(tps) / len(tps)
+        return out
 
     def active_count(self) -> int:
         return sum(r is not None for r in self.slot_req)
@@ -210,6 +241,8 @@ class Engine:
         return int(self.rng.choice(len(p), p=p))
 
     def _emit(self, slot: int, req: Request, tok: int) -> None:
+        if not req.tokens:
+            req.first_token_time = time.time()
         req.tokens.append(tok)
         self._last_tok[slot] = tok
         if req.on_token is not None:
@@ -229,6 +262,10 @@ class Engine:
     def _free(self, slot: int, req: Request, reason: str) -> None:
         self.slot_req[slot] = None
         self.pos[slot] = 0
+        req.finish_time = time.time()
+        self._finished.append(req)
+        if len(self._finished) > 1000:  # bounded history
+            self._finished = self._finished[-500:]
         if req.on_finish is not None:
             req.on_finish(req.tokens, reason)
 

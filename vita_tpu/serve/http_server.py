@@ -6,6 +6,7 @@ dependencies: a stdlib ThreadingHTTPServer exposing
 
   GET  /            — minimal chat page (text + image/audio upload)
   GET  /health      — {"status": "ok", "active": N}
+  GET  /stats       — serving metrics (p50 TTFT, decode tok/s, queue depth)
   POST /v1/generate — {"prompt": str, "image_b64"?: str, "audio_b64"?: str,
                        "max_tokens"?: int, "temperature"?: float}
                       -> chunked text/plain token stream
@@ -125,7 +126,14 @@ def make_handler(app: ServingApp):
             pass
 
         def do_GET(self):
-            if self.path == "/health":
+            if self.path == "/stats":
+                body = json.dumps(app.engine.stats()).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path == "/health":
                 body = json.dumps(
                     {"status": "ok", "active": app.engine.active_count()}
                 ).encode()
