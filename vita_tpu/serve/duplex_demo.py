@@ -1,0 +1,158 @@
+"""Interactive duplex demo: `python -m vita_tpu.serve.duplex_demo`.
+
+The runnable equivalent of the reference's interactive web demo
+(web_demo/web_interactive_demo.py): two engine replicas under the
+generate/monitor role-swap controller, fed by the streaming VAD.
+
+Modes:
+  --simulate      synthetic mic session (tones + silence + an interrupt):
+                  demonstrates VAD segmentation, <2> noise gating, the
+                  audio-interrupt role swap, and sentence-chunked TTS
+                  callbacks without hardware. Works with --model
+                  tiny-random.
+  --wav a.wav [b.wav ...]   feed real wav files as successive utterances.
+
+Each TTS flush is printed as [tts]; streamed text as it arrives; role
+swaps and rejections are logged, and final duplex stats are reported.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from vita_tpu.constants import AUDIO_TOKEN_INDEX
+from vita_tpu.conversation import TEMPLATES, Dialog
+from vita_tpu.serve.duplex import DuplexController
+from vita_tpu.serve.engine import Engine, EngineThread, Request
+from vita_tpu.serve.vad import CHUNK_SAMPLES, SAMPLE_RATE, StreamingVAD, VADConfig
+from vita_tpu.tokenization import (
+    audio_token_count,
+    expand_media_sentinels,
+    media_masks,
+    tokenize_multimodal,
+)
+
+
+def synth_session() -> List[np.ndarray]:
+    """Silence, a 3 s utterance, a pause, then a second (interrupting)
+    utterance, then silence — all as VAD-sized chunks."""
+    def tone(seconds, freq, level=0.25):
+        t = np.arange(int(seconds * SAMPLE_RATE)) / SAMPLE_RATE
+        return (level * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+
+    silence = np.zeros(int(1.8 * SAMPLE_RATE), np.float32)
+    stream = np.concatenate(
+        [silence, tone(3.0, 200), silence, tone(3.0, 300), silence]
+    )
+    n = len(stream) // CHUNK_SAMPLES
+    return list(stream[: n * CHUNK_SAMPLES].reshape(n, CHUNK_SAMPLES))
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    p = argparse.ArgumentParser(description="VITA-TPU duplex interactive demo")
+    p.add_argument("--model", default="tiny-random")
+    p.add_argument("--simulate", action="store_true")
+    p.add_argument("--wav", nargs="*", default=None)
+    p.add_argument("--max-new-tokens", type=int, default=48)
+    p.add_argument("--max-len", type=int, default=1024)
+    p.add_argument("--settle-s", type=float, default=8.0,
+                   help="seconds to let a response stream before the next utterance")
+    args = p.parse_args(argv)
+
+    import jax
+
+    from vita_tpu.data.audio import fbank
+    from vita_tpu.models import vita
+
+    if args.model == "tiny-random":
+        cfg = vita.VITAConfig.tiny()
+        params = vita.init_params(jax.random.PRNGKey(0), cfg)
+        from vita_tpu.cli import ByteTokenizer
+
+        tok = ByteTokenizer()
+        encode, decode = tok.encode, tok.decode
+        bos_id, eos_id = tok.bos_id, -1  # random weights: run to max tokens
+    else:
+        from vita_tpu.checkpoint import load_vita_checkpoint
+        from vita_tpu.cli import load_hf_tokenizer
+
+        cfg, params = load_vita_checkpoint(args.model)
+        hf_tok = load_hf_tokenizer(args.model)
+        encode = lambda s: hf_tok(s).input_ids
+        decode = lambda ids: hf_tok.decode(ids, skip_special_tokens=False)
+        bos_id, eos_id = hf_tok.bos_token_id, hf_tok.eos_token_id
+
+    # two replicas — deployed as disjoint slice halves; here two engines
+    engines = [Engine(params, cfg, n_slots=2, max_len=args.max_len, seed=i)
+               for i in range(2)]
+    threads = [EngineThread(e) for e in engines]
+    for t in threads:
+        t.start()
+
+    def on_text(chunk: str) -> None:
+        sys.stdout.write(chunk)
+        sys.stdout.flush()
+
+    def on_tts(sentence: str) -> None:
+        print(f"\n[tts] {sentence.strip()!r}")
+
+    ctl = DuplexController(engines, decode, on_text, on_tts)
+
+    def make_query(segment: np.ndarray) -> Request:
+        feats = fbank(segment)
+        n_aud = audio_token_count(len(feats))
+        prompt = Dialog(TEMPLATES["mixtral_two"]).user("<audio>").assistant().render("lang")
+        ids = tokenize_multimodal(prompt, encode, bos_id=bos_id)
+        expanded = expand_media_sentinels(ids, [], [n_aud])
+        safe, _, am = media_masks(np.array(expanded))
+        return Request(
+            input_ids=safe, audio_mask=am, speech=feats, speech_length=len(feats),
+            max_new_tokens=args.max_new_tokens, eos_id=eos_id,
+        )
+
+    vad = StreamingVAD(VADConfig(min_dialog_s=1.5))
+    if args.wav:
+        chunks: List[np.ndarray] = []
+        from vita_tpu.data.audio import load_wav
+
+        for path in args.wav:
+            wav = load_wav(path)
+            n = len(wav) // CHUNK_SAMPLES
+            chunks += list(wav[: n * CHUNK_SAMPLES].reshape(n, CHUNK_SAMPLES))
+            chunks += [np.zeros(CHUNK_SAMPLES, np.float32)] * 8  # inter-utterance gap
+    else:
+        chunks = synth_session()
+
+    print(f"[demo] streaming {len(chunks)} mic chunks "
+          f"({len(chunks) * CHUNK_SAMPLES / SAMPLE_RATE:.1f} s of audio)")
+    n_queries = 0
+    for chunk in chunks:
+        seg = vad.process(chunk)
+        if seg is not None:
+            n_queries += 1
+            print(f"\n[vad] utterance {n_queries}: {len(seg) / SAMPLE_RATE:.2f}s "
+                  f"-> monitor engine {1 - ctl.generator_idx}")
+            ctl.submit_query(make_query(seg))
+            time.sleep(args.settle_s)  # let the answer stream (real time)
+
+    time.sleep(args.settle_s)
+    for t in threads:
+        t.stop()
+    print(f"\n[demo] done: {n_queries} queries, {ctl.interrupts} interrupt(s), "
+          f"{ctl.rejected_noise} noise rejection(s), final generator: engine "
+          f"{ctl.generator_idx}")
+    for i, e in enumerate(engines):
+        st = e.stats()
+        if st.get("completed"):
+            print(f"[engine {i}] completed={st['completed']:.0f} "
+                  f"ttft_p50={st.get('ttft_p50_s', 0):.2f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
