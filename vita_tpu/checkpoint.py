@@ -23,16 +23,44 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def save_checkpoint(path: str, params, step: int = 0, extra: Optional[Dict] = None) -> None:
-    import orbax.checkpoint as ocp
+_async_ckptr = None
 
+
+def _checkpointer():
+    """Process-wide async checkpointer: saves overlap the next train steps
+    (SURVEY.md §5.4's orbax-async target; the reference blocks training on
+    DeepSpeed gather+write)."""
+    global _async_ckptr
+    if _async_ckptr is None:
+        import orbax.checkpoint as ocp
+
+        _async_ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _async_ckptr
+
+
+def save_checkpoint(
+    path: str, params, step: int = 0, extra: Optional[Dict] = None, block: bool = False
+) -> None:
     path = os.path.abspath(path)
-    ckptr = ocp.StandardCheckpointer()
-    ckptr.save(os.path.join(path, f"step_{step}"), params, force=True)
-    ckptr.wait_until_finished()
+    ckptr = _checkpointer()
+    ckptr.save(os.path.join(path, f"step_{step}"), args_lib_save(params), force=True)
+    if block:
+        ckptr.wait_until_finished()
     if extra:
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump({"step": step, **extra}, f)
+
+
+def wait_for_checkpoints() -> None:
+    """Block until in-flight async saves complete (call before exit)."""
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
+
+
+def args_lib_save(params):
+    import orbax.checkpoint as ocp
+
+    return ocp.args.StandardSave(params)
 
 
 def load_checkpoint(path: str, step: Optional[int] = None, target=None):
@@ -46,6 +74,7 @@ def load_checkpoint(path: str, step: Optional[int] = None, target=None):
         if not steps:
             raise FileNotFoundError(f"no step_* checkpoints under {path}")
         step = steps[-1]
+    wait_for_checkpoints()  # a just-written step must be complete
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(os.path.join(path, f"step_{step}"), target)
 

@@ -97,6 +97,9 @@ class Trainer:
         self._prune_checkpoints()
 
     def _prune_checkpoints(self) -> None:
+        from vita_tpu.checkpoint import wait_for_checkpoints
+
+        wait_for_checkpoints()  # never prune a step still being written
         d = self._ckpt_dir()
         if not os.path.isdir(d):
             return
@@ -164,6 +167,9 @@ class Trainer:
         with open(os.path.join(self.run.output_dir, "metrics.jsonl"), "a") as f:
             for m in self.metrics_log:
                 f.write(json.dumps(m) + "\n")
+        from vita_tpu.checkpoint import wait_for_checkpoints
+
+        wait_for_checkpoints()
         return self.metrics_log
 
 
