@@ -63,18 +63,30 @@ def args_lib_save(params):
     return ocp.args.StandardSave(params)
 
 
+def _committed_steps(path: str):
+    """Step numbers of fully-committed checkpoints (in-flight async saves
+    leave '*.orbax-checkpoint-tmp' directories, which must be ignored)."""
+    out = []
+    for d in os.listdir(path):
+        if not d.startswith("step_") or "orbax-checkpoint-tmp" in d:
+            continue
+        try:
+            out.append(int(d.split("_", 1)[1]))
+        except ValueError:
+            continue
+    return sorted(out)
+
+
 def load_checkpoint(path: str, step: Optional[int] = None, target=None):
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
+    wait_for_checkpoints()  # a just-written step must be complete
     if step is None:
-        steps = sorted(
-            int(d.split("_", 1)[1]) for d in os.listdir(path) if d.startswith("step_")
-        )
+        steps = _committed_steps(path)
         if not steps:
             raise FileNotFoundError(f"no step_* checkpoints under {path}")
         step = steps[-1]
-    wait_for_checkpoints()  # a just-written step must be complete
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(os.path.join(path, f"step_{step}"), target)
 
@@ -82,7 +94,8 @@ def load_checkpoint(path: str, step: Optional[int] = None, target=None):
 def latest_step(path: str) -> Optional[int]:
     if not os.path.isdir(path):
         return None
-    steps = [int(d.split("_", 1)[1]) for d in os.listdir(path) if d.startswith("step_")]
+    wait_for_checkpoints()
+    steps = _committed_steps(path)
     return max(steps) if steps else None
 
 

@@ -103,9 +103,9 @@ class Trainer:
         d = self._ckpt_dir()
         if not os.path.isdir(d):
             return
-        steps = sorted(
-            int(x.split("_", 1)[1]) for x in os.listdir(d) if x.startswith("step_")
-        )
+        from vita_tpu.checkpoint import _committed_steps
+
+        steps = _committed_steps(d)
         for s in steps[: -self.run.keep_checkpoints]:
             import shutil
 
