@@ -82,6 +82,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--temperature", type=float, default=0.01)
     p.add_argument("--max-patches", type=int, default=12)
     p.add_argument("--max-len", type=int, default=4096)
+    p.add_argument("--chunk-len", type=int, default=8,
+                   help="decode tokens per device dispatch (host readback cadence)")
+    p.add_argument("--decode-moe-mode", default=None,
+                   choices=["dense", "capacity", "gather", "gather_q"],
+                   help="MoE path for decode steps (default: inherit model config)")
     args = p.parse_args(argv)
 
     import jax
@@ -150,7 +155,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     expanded = expand_media_sentinels(ids, img_counts, aud_counts)
     safe, im, am = media_masks(np.array(expanded))
 
-    gen = Generator(params, cfg, max_len=args.max_len)
+    gen = Generator(params, cfg, max_len=args.max_len, chunk_len=args.chunk_len,
+                    decode_moe_mode=args.decode_moe_mode)
     gcfg = GenerationConfig(
         max_new_tokens=args.max_new_tokens,
         temperature=0.0 if args.temperature <= 0.01 else args.temperature,

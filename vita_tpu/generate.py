@@ -1,27 +1,42 @@
-"""Generation: jitted multimodal prefill + token-by-token decode.
+"""Generation: bucketed multimodal prefill + on-device chunked decode.
 
-The decode loop is a single compiled step reused across tokens (KV cache
-is functional state). Host-side loop handles stopping (eos / max tokens /
-cache-capacity guard — XLA's dynamic_update_slice silently clamps writes
-past the cache end, so the guard lives here).
-
-Mirrors the reference's HF-path generate flow
+TPU-first redesign of the reference's HF-path generate flow
 (video_audio_demo.py:257-270, vita_mixtral.py:357-382: media only at
-prefill, decode steps feed one token) with temperature/greedy sampling
-(demo default temperature 0.01 ~= greedy).
+prefill, decode steps feed one token):
+
+- **Bucketed prefill**: prompts are padded to a small set of length buckets
+  (and image tiles / audio frames to their own buckets), so the XLA compile
+  cache stays bounded under arbitrary user inputs — critical on a backend
+  where each remote compile takes minutes.
+- **On-device decode**: sampling (greedy/temperature/top-k/top-p) runs
+  inside the jitted step and ``chunk_len`` tokens advance per dispatch
+  (vita_tpu.sampling.decode_chunk); the host reads back one small int32
+  array per chunk instead of a [V] logits row per token, so decode speed is
+  set by the chip, not the host link. Chunk dispatches are pipelined one
+  deep to hide the readback round-trip entirely.
+- Stop handling (eos / KeywordsStoppingCriteria-style stop sequences,
+  vita/util/mm_utils.py:121-155 / max tokens) stays host-side, applied per
+  chunk with exact truncation — outputs are identical to a token-by-token
+  loop.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from vita_tpu.models import mixtral, vita
+from vita_tpu.sampling import decode_chunk, sample_tokens
+from vita_tpu.tokenization import pad_to_bucket
+
+DEFAULT_PROMPT_BUCKETS = (128, 256, 512, 1024, 2048, 4096)
+DEFAULT_TILE_BUCKETS = (1, 5, 13)  # dynamic-patch counts: 1 tile .. 12+thumbnail
+DEFAULT_FRAME_BUCKETS = (400, 800, 1600, 3200, 6400)  # 10ms fbank frames
 
 
 @dataclasses.dataclass
@@ -57,62 +72,90 @@ def ends_with_stop(tokens, stop_sequences) -> bool:
     return False
 
 
+def pad_axis0(x: np.ndarray, buckets: Sequence[int]) -> np.ndarray:
+    """Zero-pad axis 0 of ``x`` up to the smallest bucket >= its length.
+    Lengths beyond the largest bucket are left as-is (exact-shape compile)."""
+    n = x.shape[0]
+    for b in sorted(buckets):
+        if n <= b:
+            if n == b:
+                return x
+            pad = [(0, b - n)] + [(0, 0)] * (x.ndim - 1)
+            return np.pad(x, pad)
+    return x
+
+
 class Generator:
     """Holds the jitted prefill/decode executables for one (cfg, shapes)."""
 
-    def __init__(self, params, cfg: vita.VITAConfig, max_len: int = 4096):
+    def __init__(
+        self,
+        params,
+        cfg: vita.VITAConfig,
+        max_len: int = 4096,
+        chunk_len: int = 8,
+        prompt_buckets: Sequence[int] = DEFAULT_PROMPT_BUCKETS,
+        tile_buckets: Sequence[int] = DEFAULT_TILE_BUCKETS,
+        frame_buckets: Sequence[int] = DEFAULT_FRAME_BUCKETS,
+        decode_moe_mode: Optional[str] = None,  # None=inherit cfg.llm.moe_mode
+    ):
         self.params = params
         self.cfg = cfg
         self.max_len = max_len
+        self.chunk_len = chunk_len
+        buckets = sorted(b for b in prompt_buckets if b <= max_len)
+        if not buckets or buckets[-1] < max_len:
+            buckets.append(max_len)
+        self.prompt_buckets = tuple(buckets)
+        self.tile_buckets = tuple(sorted(tile_buckets))
+        self.frame_buckets = tuple(sorted(frame_buckets))
+
+        # Decode MoE path (same options as serve.engine): 'gather'/'gather_q'
+        # read only the selected experts via the Pallas kernels.
+        if decode_moe_mode is None:
+            decode_moe_mode = cfg.llm.moe_mode
+        if decode_moe_mode not in ("dense", "capacity", "gather", "gather_q"):
+            raise ValueError(f"bad decode_moe_mode {decode_moe_mode!r}")
+        self._decode_cfg = dataclasses.replace(cfg.llm, moe_mode=decode_moe_mode)
+        if decode_moe_mode == "gather_q":
+            self._decode_llm = mixtral.quantize_moe_for_decode(params["llm"])
+        else:
+            self._decode_llm = params["llm"]
 
         @jax.jit
-        def _prefill(params, cache, input_ids, image_mask, audio_mask,
-                     images, speech, speech_lengths, attn_valid):
+        def _prefill(params, input_ids, image_mask, audio_mask,
+                     images, speech, speech_lengths, true_len, temp, tk, tp, key):
+            cache = mixtral.init_kv_cache(cfg.llm, 1, max_len)
+            attn_valid = jnp.arange(max_len)[None, :] < true_len[:, None]
             logits, cache, _ = vita.forward(
                 params, cfg, input_ids,
                 image_mask=image_mask, audio_mask=audio_mask,
                 images=images, speech=speech, speech_lengths=speech_lengths,
                 attn_valid=attn_valid, cache=cache,
             )
-            return logits, cache
+            last = jnp.take_along_axis(
+                logits, (true_len - 1)[:, None, None], axis=1
+            )[:, 0]
+            key, sub = jax.random.split(key)
+            tok = sample_tokens(last, sub, temp, tk, tp)
+            return tok, cache["k"], cache["v"], key
 
         @jax.jit
-        def _prefill_text(params, cache, input_ids, attn_valid):
+        def _prefill_text(params, input_ids, true_len, temp, tk, tp, key):
+            cache = mixtral.init_kv_cache(cfg.llm, 1, max_len)
+            attn_valid = jnp.arange(max_len)[None, :] < true_len[:, None]
             logits, cache, _ = vita.forward(
                 params, cfg, input_ids, attn_valid=attn_valid, cache=cache
             )
-            return logits, cache
-
-        @jax.jit
-        def _step(params, cache, tok, attn_valid):
-            logits, cache, _ = mixtral.forward(
-                params["llm"], cfg.llm, input_ids=tok,
-                attn_valid=attn_valid, cache=cache,
-            )
-            return logits[:, -1], cache
+            last = jnp.take_along_axis(
+                logits, (true_len - 1)[:, None, None], axis=1
+            )[:, 0]
+            key, sub = jax.random.split(key)
+            tok = sample_tokens(last, sub, temp, tk, tp)
+            return tok, cache["k"], cache["v"], key
 
         self._prefill = _prefill
         self._prefill_text = _prefill_text
-        self._step = _step
-
-    def _sample(self, logits: np.ndarray, gen: GenerationConfig, rng: np.random.Generator):
-        if gen.temperature <= 0.0:
-            return int(np.argmax(logits))
-        x = logits.astype(np.float64) / gen.temperature
-        if gen.top_k > 0:
-            kth = np.partition(x, -gen.top_k)[-gen.top_k]
-            x = np.where(x < kth, -np.inf, x)
-        p = np.exp(x - x.max())
-        p /= p.sum()
-        if gen.top_p < 1.0:
-            order = np.argsort(-p)
-            csum = np.cumsum(p[order])
-            cut = int(np.searchsorted(csum, gen.top_p)) + 1
-            mask = np.zeros_like(p)
-            mask[order[:cut]] = 1.0
-            p = p * mask
-            p /= p.sum()
-        return int(rng.choice(len(p), p=p))
 
     def generate(
         self,
@@ -128,7 +171,6 @@ class Generator:
     ) -> List[int]:
         """Single-sequence generation. Returns new token ids (no prompt)."""
         gen = gen or GenerationConfig()
-        rng = np.random.default_rng(seed)
         s = len(input_ids)
         if s + gen.max_new_tokens > self.max_len:
             raise ValueError(
@@ -136,45 +178,81 @@ class Generator:
                 f"cache capacity {self.max_len}"
             )
 
-        cache = mixtral.init_kv_cache(self.cfg.llm, batch=1, max_len=self.max_len)
-        ids = jnp.asarray(input_ids, jnp.int32)[None]
-        valid = jnp.zeros((1, self.max_len), bool).at[:, :s].set(True)
+        padded, _ = pad_to_bucket(input_ids, self.prompt_buckets, pad_id=0)
+        p = len(padded)
+
+        def _padmask(m):
+            out = np.zeros(p, bool)
+            if m is not None:
+                out[:s] = np.asarray(m, bool)
+            return jnp.asarray(out)[None]
+
+        ids = jnp.asarray(np.asarray(padded, np.int32))[None]
+        true_len = jnp.asarray([s], jnp.int32)
+        temp = jnp.asarray([gen.temperature], jnp.float32)
+        tk = jnp.asarray([gen.top_k], jnp.int32)
+        tp = jnp.asarray([gen.top_p], jnp.float32)
+        key = jax.random.PRNGKey(seed)
 
         if images is None and speech is None:
-            logits, cache = self._prefill_text(self.params, cache, ids, valid)
+            tok, k, v, key = self._prefill_text(
+                self.params, ids, true_len, temp, tk, tp, key
+            )
         else:
-            im = (
-                jnp.asarray(image_mask)[None]
-                if image_mask is not None
-                else jnp.zeros((1, s), bool)
+            im, am = _padmask(image_mask), _padmask(audio_mask)
+            img = (
+                jnp.asarray(pad_axis0(np.asarray(images), self.tile_buckets))
+                if images is not None else None
             )
-            am = (
-                jnp.asarray(audio_mask)[None]
-                if audio_mask is not None
-                else jnp.zeros((1, s), bool)
-            )
-            sp = jnp.asarray(speech)[None] if speech is not None else None
-            sl = jnp.asarray([speech_length or 0]) if speech is not None else None
-            logits, cache = self._prefill(
-                self.params, cache, ids, im, am,
-                jnp.asarray(images) if images is not None else None,
-                sp, sl, valid,
+            sp = sl = None
+            if speech is not None:
+                sp = jnp.asarray(pad_axis0(np.asarray(speech), self.frame_buckets))[None]
+                sl = jnp.asarray([speech_length or speech.shape[0]], jnp.int32)
+            tok, k, v, key = self._prefill(
+                self.params, ids, im, am, img, sp, sl, true_len, temp, tk, tp, key
             )
 
+        cache = {"k": k, "v": v, "pos": true_len}
+        active = jnp.ones((1,), bool)
         out: List[int] = []
-        tok = self._sample(np.asarray(logits[0, s - 1]), gen, rng)
-        for i in range(gen.max_new_tokens):
-            out.append(tok)
-            if on_token is not None:
-                on_token(tok)
-            if tok == gen.eos_id or ends_with_stop(out, gen.stop_sequences):
-                break
-            pos = s + i
-            if pos + 1 > self.max_len:
-                break
-            valid = valid.at[:, pos].set(True)
-            logits, cache = self._step(
-                self.params, cache, jnp.asarray([[tok]], jnp.int32), valid
+        pos = s
+        first_token_dev = tok  # read back early for streaming TTFT
+
+        # pipeline chunk dispatches one deep: enqueue chunk i+1 before
+        # reading chunk i's tokens so the host round-trip is hidden.
+        def launch(cache, tok, pos, key):
+            return decode_chunk(
+                self._decode_llm, cache, tok, jnp.asarray([pos], jnp.int32),
+                active, temp, tk, tp, key,
+                llm_cfg=self._decode_cfg, chunk_len=self.chunk_len,
             )
-            tok = self._sample(np.asarray(logits[0]), gen, rng)
-        return out
+
+        cache, toks, tok, key = launch(cache, tok, pos, key)
+        pending = toks
+        pos += self.chunk_len
+        if on_token is not None:
+            # first token is ready before the chunk completes; stream it
+            on_token(int(np.asarray(first_token_dev)[0]))
+        streamed_first = on_token is not None
+
+        while True:
+            want_more = len(out) + self.chunk_len < gen.max_new_tokens
+            nxt = launch(cache, tok, pos, key) if want_more else None
+            chunk = np.asarray(pending)[0]
+            done = False
+            for t in chunk:
+                t = int(t)
+                out.append(t)
+                if on_token is not None and not (streamed_first and len(out) == 1):
+                    on_token(t)
+                if (
+                    t == gen.eos_id
+                    or ends_with_stop(out, gen.stop_sequences)
+                    or len(out) >= gen.max_new_tokens
+                ):
+                    done = True
+                    break
+            if done or nxt is None:
+                return out
+            cache, pending, tok, key = nxt
+            pos += self.chunk_len
