@@ -254,6 +254,43 @@ def _attention_block(
     return out, new_k, new_v
 
 
+def _attention_block_paged(
+    lp: Params,
+    cfg: MixtralConfig,
+    x: jnp.ndarray,  # [B, 1, D]
+    positions: jnp.ndarray,  # [B, 1]
+    k_pages: jnp.ndarray,  # [L, Hkv, P, page, d]
+    v_pages: jnp.ndarray,
+    table: jnp.ndarray,  # [B, max_pages]
+    pos: jnp.ndarray,  # [B] rows already written (current token's slot)
+    active: Optional[jnp.ndarray],  # [B] bool or None
+    layer_idx: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Decode attention against the paged KV pool (ops.paged_attention)."""
+    from vita_tpu.ops.paged_attention import paged_attention, write_kv_rows
+
+    b, s, d = x.shape
+    if s != 1:
+        raise ValueError("paged cache supports single-token decode only")
+    hq, hkv, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    q = (x @ lp["wq"]).reshape(b, s, hq, hd)
+    k = (x @ lp["wk"]).reshape(b, s, hkv, hd)
+    v = (x @ lp["wv"]).reshape(b, s, hkv, hd)
+    q, k = apply_rope(q, k, positions, cfg.rope_theta)
+    layer = jnp.int32(layer_idx)
+    k_pages, v_pages = write_kv_rows(
+        k_pages, v_pages, layer, table, pos, k[:, 0], v[:, 0], active=active
+    )
+    lengths = pos + 1
+    if active is not None:
+        lengths = jnp.where(active, lengths, 0)
+    out = paged_attention(
+        q[:, 0].astype(k_pages.dtype), k_pages, v_pages, table, lengths, layer
+    ).astype(x.dtype)
+    out = out.reshape(b, s, hq * hd) @ lp["wo"]
+    return out, k_pages, v_pages
+
+
 def forward(
     params: Params,
     cfg: MixtralConfig,
@@ -264,14 +301,20 @@ def forward(
     cache: Optional[Params] = None,
     token_mask: Optional[jnp.ndarray] = None,  # [B, S] real (non-pad) tokens, for aux loss
 ) -> Tuple[jnp.ndarray, Optional[Params], jnp.ndarray]:
-    """Returns (logits [B, S, V], new_cache or None, moe_aux_loss scalar)."""
+    """Returns (logits [B, S, V], new_cache or None, moe_aux_loss scalar).
+
+    ``cache`` is either the linear KV cache from init_kv_cache, or a paged
+    cache {'k_pages','v_pages','table','pos'[,'active']} (single-token
+    decode against the block pool; see ops.paged_attention).
+    """
+    paged = cache is not None and "k_pages" in cache
     if inputs_embeds is None:
         inputs_embeds = jnp.take(params["embed"], input_ids, axis=0)
     b, s, d = inputs_embeds.shape
     if positions is None:
         base = cache["pos"][:, None] if cache is not None else 0
         positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s)) + base
-    if attn_valid is None:
+    if attn_valid is None and not paged:
         kv_len = cache["k"].shape[2] if cache is not None else s
         attn_valid = jnp.ones((b, kv_len), bool)
 
@@ -296,7 +339,7 @@ def forward(
         return (x, aux_sum + aux), (nk, nv)
 
     gather_mode = cfg.moe_mode in ("gather", "gather_q")
-    if isinstance(params["layers"], (list, tuple)) or gather_mode:
+    if isinstance(params["layers"], (list, tuple)) or gather_mode or paged:
         # Python layer loop (unrolled at trace time). Used for unstacked
         # params (see unstack_layers) and for the Pallas gather decode
         # modes: the gather kernels consume the STACKED expert arrays
@@ -339,6 +382,10 @@ def forward(
         x = inputs_embeds
         aux_total = jnp.zeros((), jnp.float32)
         new_ks, new_vs = [], []
+        if paged:
+            pages_k, pages_v = cache["k_pages"], cache["v_pages"]
+            table, ppos = cache["table"], cache["pos"]
+            pactive = cache.get("active")
         n_layers = cfg.n_layers if stacked else len(layers)
         for i in range(n_layers):
             if stacked:
@@ -354,13 +401,19 @@ def forward(
                 }
             else:
                 lp = layers[i]
-            ck = cache["k"][i] if cache is not None else None
-            cv = cache["v"][i] if cache is not None else None
             h = rms_norm(x, lp["ln_attn"], cfg.rms_eps)
-            attn_out, nk, nv = _attention_block(
-                lp["attn"], cfg, h, positions, attn_valid, ck, cv,
-                cache["pos"] if cache is not None else None,
-            )
+            if paged:
+                attn_out, pages_k, pages_v = _attention_block_paged(
+                    lp["attn"], cfg, h, positions, pages_k, pages_v,
+                    table, ppos, pactive, i,
+                )
+            else:
+                ck = cache["k"][i] if cache is not None else None
+                cv = cache["v"][i] if cache is not None else None
+                attn_out, nk, nv = _attention_block(
+                    lp["attn"], cfg, h, positions, attn_valid, ck, cv,
+                    cache["pos"] if cache is not None else None,
+                )
             x = x + attn_out
             h = rms_norm(x, lp["ln_moe"], cfg.rms_eps)
             if gather_mode:
@@ -373,10 +426,14 @@ def forward(
                 )
             x = x + moe_out.reshape(b, s, d)
             aux_total = aux_total + aux
-            if cache is not None:
+            if cache is not None and not paged:
                 new_ks.append(nk)
                 new_vs.append(nv)
-        new_kv = (jnp.stack(new_ks), jnp.stack(new_vs)) if cache is not None else (None, None)
+        new_kv = (
+            (jnp.stack(new_ks), jnp.stack(new_vs))
+            if cache is not None and not paged
+            else (None, None)
+        )
     else:
         if cache is not None:
             xs = (params["layers"], cache["k"], cache["v"])
@@ -413,6 +470,10 @@ def forward(
     logits = x @ params["lm_head"]
 
     new_cache = None
-    if cache is not None:
+    if paged:
+        new_cache = dict(cache)
+        new_cache.update({"k_pages": pages_k, "v_pages": pages_v,
+                          "pos": cache["pos"] + s})
+    elif cache is not None:
         new_cache = {"k": new_kv[0], "v": new_kv[1], "pos": cache["pos"] + s}
     return logits, new_cache, aux_total / cfg.n_layers

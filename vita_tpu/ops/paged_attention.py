@@ -1,0 +1,257 @@
+"""Pallas paged-attention decode kernel + block-pool KV cache helpers.
+
+TPU-native replacement for vLLM's paged attention + block allocator
+(reference serving path: web_demo/vllm_tools/vllm_file/mixtral.py:484-489,
+which delegates to vLLM's CUDA paged_attention kernels). Design:
+
+- KV lives in a shared page pool ``[L, Hkv, n_pages, page_size, d]``; each
+  request owns a host-allocated list of pages (``PagePool``), so HBM is
+  sized by *actual* context lengths, not ``n_slots * max_len``.
+- The decode kernel runs one program per (slot, kv_head). Pages stay in
+  HBM (``memory_space=ANY``); the kernel walks the slot's page table with
+  manually double-buffered async DMAs, so per-step KV traffic is
+  proportional to the slot's true length — unlike a dense masked attention
+  over a [B, max_len] cache, which streams the whole allocation. GQA is
+  native: each program loads the kv head once and attends all ``group``
+  q heads of that head against it.
+- Page writes (decode rows / prefill installs) are XLA scatters outside
+  the kernel — tiny, and in-place under donation.
+
+Decode-only (q length 1 per slot); prefill uses the flash kernel over a
+linear scratch then installs pages via ``install_prefill_pages``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+DEFAULT_PAGE_SIZE = 64
+
+
+def init_page_pool(
+    n_layers: int,
+    n_kv_heads: int,
+    n_pages: int,
+    page_size: int,
+    head_dim: int,
+    dtype=jnp.float32,
+):
+    """Device-side page pool: {'k_pages','v_pages'} [L, Hkv, P, page, d]."""
+    shape = (n_layers, n_kv_heads, n_pages, page_size, head_dim)
+    return {"k_pages": jnp.zeros(shape, dtype), "v_pages": jnp.zeros(shape, dtype)}
+
+
+class PagePool:
+    """Host-side free-list allocator over the device page pool."""
+
+    def __init__(self, n_pages: int):
+        self.n_pages = n_pages
+        self._free: List[int] = list(range(n_pages))
+
+    @property
+    def free_count(self) -> int:
+        return len(self._free)
+
+    def alloc(self, n: int) -> Optional[List[int]]:
+        """Allocate n pages, or None if the pool can't satisfy the request."""
+        if n > len(self._free):
+            return None
+        got, self._free = self._free[:n], self._free[n:]
+        return got
+
+    def release(self, pages: Sequence[int]) -> None:
+        self._free.extend(int(p) for p in pages)
+
+
+def pages_needed(tokens: int, page_size: int) -> int:
+    return -(-tokens // page_size)
+
+
+# ----------------------------------------------------------------------
+# kernel
+# ----------------------------------------------------------------------
+def _paged_attn_kernel(
+    layer_ref,  # SMEM [1] layer index
+    lengths_ref,  # SMEM [B] valid kv rows per slot (0 => inactive)
+    tables_ref,  # SMEM [B, max_pages] page ids per slot
+    q_ref,  # VMEM [1, group, d] — this kv head's q group
+    kp_hbm,  # ANY [L, Hkv, P, page, d]
+    vp_hbm,  # ANY
+    o_ref,  # VMEM [1, group, d]
+    kbuf,  # VMEM [2, page, d] double buffer
+    vbuf,  # VMEM [2, page, d]
+    sems,  # DMA sems [2, 2]
+    *,
+    page_size: int,
+    scale: float,
+    group: int,
+):
+    slot = pl.program_id(0)
+    kvh = pl.program_id(1)
+    layer = layer_ref[0]
+    length = lengths_ref[slot]
+    n_pages = (length + page_size - 1) // page_size
+
+    def k_copy(i, b):
+        return pltpu.make_async_copy(
+            kp_hbm.at[layer, kvh, tables_ref[slot, i]], kbuf.at[b], sems.at[0, b]
+        )
+
+    def v_copy(i, b):
+        return pltpu.make_async_copy(
+            vp_hbm.at[layer, kvh, tables_ref[slot, i]], vbuf.at[b], sems.at[1, b]
+        )
+
+    o_ref[...] = jnp.zeros_like(o_ref)
+
+    @pl.when(n_pages > 0)
+    def _run():
+        k_copy(0, 0).start()
+        v_copy(0, 0).start()
+        q = q_ref[0].astype(jnp.float32) * scale  # [group, d]
+
+        def body(i, carry):
+            m, l, acc = carry
+            b = jax.lax.rem(i, 2)
+
+            @pl.when(i + 1 < n_pages)
+            def _prefetch():
+                nb = jax.lax.rem(i + 1, 2)
+                k_copy(i + 1, nb).start()
+                v_copy(i + 1, nb).start()
+
+            k_copy(i, b).wait()
+            k = kbuf[pl.ds(b, 1)][0]  # [page, d]
+            s = jax.lax.dot_general(
+                q, k.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [group, page]
+            k_pos = i * page_size + jax.lax.broadcasted_iota(
+                jnp.int32, (group, page_size), 1
+            )
+            s = jnp.where(k_pos < length, s, NEG_INF)
+
+            m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m - m_new)
+            v_copy(i, b).wait()
+            v = vbuf[pl.ds(b, 1)][0]
+            l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+            acc = acc * alpha + jax.lax.dot_general(
+                p, v.astype(jnp.float32), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return m_new, l, acc
+
+        d = q_ref.shape[-1]
+        m0 = jnp.full((group, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((group, 1), jnp.float32)
+        acc0 = jnp.zeros((group, d), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, n_pages, body, (m0, l0, acc0))
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
+
+
+def paged_attention(
+    q: jnp.ndarray,  # [B, Hq, d] — one decode token per slot
+    k_pages: jnp.ndarray,  # [L, Hkv, P, page, d]
+    v_pages: jnp.ndarray,
+    tables: jnp.ndarray,  # [B, max_pages] int32
+    lengths: jnp.ndarray,  # [B] int32 valid kv rows (incl. current token)
+    layer: jnp.ndarray,  # [] or [1] int32
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Paged decode attention. Returns [B, Hq, d]."""
+    b, hq, d = q.shape
+    n_layers, hkv, n_pool, page_size, _ = k_pages.shape
+    if hq % hkv:
+        raise ValueError(f"q heads ({hq}) not a multiple of kv heads ({hkv})")
+    group = hq // hkv
+    scale = scale if scale is not None else d**-0.5
+    layer = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    kernel = functools.partial(
+        _paged_attn_kernel, page_size=page_size, scale=float(scale), group=group
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(b, hkv),
+            in_specs=[
+                pl.BlockSpec((1, group, d), lambda s, h, *_: (s, h, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, group, d), lambda s, h, *_: (s, h, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, page_size, d), k_pages.dtype),
+                pltpu.VMEM((2, page_size, d), v_pages.dtype),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hq, d), q.dtype),
+    )(layer, lengths.astype(jnp.int32), tables.astype(jnp.int32), q, k_pages, v_pages)
+
+
+# ----------------------------------------------------------------------
+# page writes (XLA scatters)
+# ----------------------------------------------------------------------
+def write_kv_rows(
+    k_pages: jnp.ndarray,  # [L, Hkv, P, page, d]
+    v_pages: jnp.ndarray,
+    layer: jnp.ndarray,  # int32 scalar
+    tables: jnp.ndarray,  # [B, max_pages]
+    pos: jnp.ndarray,  # [B] row to write (0-based)
+    k_new: jnp.ndarray,  # [B, Hkv, d]
+    v_new: jnp.ndarray,
+    active: Optional[jnp.ndarray] = None,  # [B] bool; inactive rows dropped
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Write one kv row per slot into its page. Out-of-range (inactive)
+    writes are dropped via scatter 'drop' mode."""
+    hkv = k_pages.shape[1]
+    page_size = k_pages.shape[3]
+    b = pos.shape[0]
+    slot_page = pos // page_size  # [B] index into each slot's table
+    page_id = jnp.take_along_axis(tables, slot_page[:, None], axis=1)[:, 0]
+    row = pos % page_size
+    if active is not None:
+        page_id = jnp.where(active, page_id, k_pages.shape[2])  # OOB => drop
+    # all-advanced adjacent indices of shape [B, Hkv] => update shape
+    # [B, Hkv, d], matching k_new (avoids the mixed basic/advanced
+    # broadcast-to-front rule)
+    li = jnp.broadcast_to(jnp.asarray(layer, jnp.int32), (b, hkv))
+    hi = jnp.broadcast_to(jnp.arange(hkv)[None, :], (b, hkv))
+    pi = jnp.broadcast_to(page_id[:, None], (b, hkv))
+    ri = jnp.broadcast_to(row[:, None], (b, hkv))
+    k_pages = k_pages.at[li, hi, pi, ri].set(k_new.astype(k_pages.dtype), mode="drop")
+    v_pages = v_pages.at[li, hi, pi, ri].set(v_new.astype(v_pages.dtype), mode="drop")
+    return k_pages, v_pages
+
+
+def install_prefill_pages(
+    k_pages: jnp.ndarray,  # [L, Hkv, P, page, d]
+    v_pages: jnp.ndarray,
+    k_lin: jnp.ndarray,  # [L, 1, S, Hkv, d] prefill scratch (S page-multiple)
+    v_lin: jnp.ndarray,
+    page_ids: jnp.ndarray,  # [S / page] int32 destination pages
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Scatter a linear prefill cache into the page pool."""
+    n_layers, _, s, hkv, d = k_lin.shape
+    page_size = k_pages.shape[3]
+    n_pp = s // page_size
+
+    def to_pages(x):
+        x = x[:, 0].transpose(0, 2, 1, 3)  # [L, Hkv, S, d]
+        return x.reshape(n_layers, hkv, n_pp, page_size, d)
+
+    k_pages = k_pages.at[:, :, page_ids].set(to_pages(k_lin).astype(k_pages.dtype))
+    v_pages = v_pages.at[:, :, page_ids].set(to_pages(v_lin).astype(v_pages.dtype))
+    return k_pages, v_pages

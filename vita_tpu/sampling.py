@@ -87,8 +87,39 @@ def decode_chunk(
     with exactly one device->host readback per chunk. Inactive slots write
     their kv past the cache end (dropped) and attend nothing.
 
+    Accepts either the linear KV cache ({'k','v','pos'}) or the paged
+    block-pool cache ({'k_pages','v_pages','table','pos'}); the branch is
+    static (pytree structure).
+
     Returns (cache, tokens [B, chunk_len], next_tok [B], next_key).
     """
+    paged = "k_pages" in cache
+    if paged:
+        table = cache["table"]
+
+        def body(carry, _):
+            kv, tok, pos, key = carry
+            c = {"k_pages": kv["k_pages"], "v_pages": kv["v_pages"],
+                 "table": table, "pos": pos, "active": active}
+            logits, nc, _ = mixtral.forward(
+                llm_params, llm_cfg, input_ids=tok[:, None],
+                positions=pos[:, None], cache=c,
+            )
+            key, sub = jax.random.split(key)
+            nxt = sample_tokens(logits[:, -1], sub, temperature, top_k, top_p)
+            return (
+                {"k_pages": nc["k_pages"], "v_pages": nc["v_pages"]},
+                nxt, pos + 1, key,
+            ), tok
+
+        carry0 = ({"k_pages": cache["k_pages"], "v_pages": cache["v_pages"]},
+                  tok, pos, key)
+        (kv, tok, pos, key), toks = jax.lax.scan(body, carry0, None, length=chunk_len)
+        new_cache = dict(cache)
+        new_cache.update({"k_pages": kv["k_pages"], "v_pages": kv["v_pages"],
+                          "pos": pos})
+        return new_cache, toks.T, tok, key
+
     max_len = cache["k"].shape[2]
 
     def body(carry, _):
