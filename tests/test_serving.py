@@ -61,7 +61,7 @@ def test_engine_concurrent_requests_match_sequential(tiny):
 
 def test_engine_cancellation(tiny):
     cfg, params = tiny
-    eng = Engine(params, cfg, n_slots=1, max_len=64)
+    eng = Engine(params, cfg, n_slots=1, max_len=64, decode_chunk_len=2)
     reasons = []
     req = Request(
         input_ids=np.array([1, 5], np.int32), max_new_tokens=50, eos_id=-1,
@@ -74,7 +74,8 @@ def test_engine_cancellation(tiny):
     eng.step()
     assert reasons == ["cancelled"]
     assert eng.active_count() == 0
-    assert len(req.tokens) <= 4
+    # cancellation lands within one decode chunk of the cancel call
+    assert len(req.tokens) <= 1 + 3 * eng.decode_chunk_len
 
 
 def test_engine_capacity_guard(tiny):
@@ -238,3 +239,124 @@ def test_engine_stats(tiny):
     assert st["completed"] == 1
     assert st["ttft_p50_s"] >= 0
     assert "decode_tokens_per_s_mean" in st
+
+
+# ---------------------------------------------------------------------------
+# engine v2: chunked prefill + paged KV (VERDICT round-1 items 3/4)
+# ---------------------------------------------------------------------------
+def test_decode_proceeds_during_chunked_prefill(tiny):
+    """A decoding slot keeps emitting between another request's prefill
+    chunks — prefill never stalls decode for a whole prompt."""
+    cfg, params = tiny
+    eng = Engine(
+        params, cfg, n_slots=2, max_len=64, page_size=8, prefill_chunk=8,
+        decode_chunk_len=2, prompt_buckets=(8, 32),
+    )
+    a = Request(input_ids=np.array([1, 5, 9], np.int32), max_new_tokens=40, eos_id=-1)
+    eng.submit(a)
+    eng.step()  # admit + 1-chunk prefill + first decode chunk
+    assert len(a.tokens) >= 1
+
+    b = Request(
+        input_ids=np.arange(1, 21, dtype=np.int32), max_new_tokens=5, eos_id=-1
+    )
+    eng.submit(b)
+    overlapped = 0
+    for _ in range(3):
+        before = len(a.tokens)
+        eng.step()
+        if eng._prefill_job is not None and len(a.tokens) > before:
+            overlapped += 1  # b mid-prefill while a advanced
+    assert overlapped >= 1
+    eng.run_until_idle()
+    assert len(b.tokens) == 5
+
+    # chunked prefill matches the single-shot Generator path
+    g = Generator(params, cfg, max_len=64, chunk_len=2, prompt_buckets=(8, 32))
+    want = g.generate(b.input_ids, gen=GenerationConfig(max_new_tokens=5, eos_id=-1))
+    assert b.tokens == want
+
+
+def test_page_pool_shares_memory_across_slots(tiny):
+    """A pool far smaller than n_slots*max_len serves many short requests:
+    admission waits for pages, everything completes, outputs match solo."""
+    cfg, params = tiny
+    # 6 pages of 8 tokens = 48 rows total vs n_slots*max_len = 3*64 = 192
+    eng = Engine(
+        params, cfg, n_slots=3, max_len=64, page_size=8, total_pages=6,
+        decode_chunk_len=2, prompt_buckets=(8,),
+    )
+    reqs = [
+        Request(input_ids=np.array([1, 10 + i], np.int32), max_new_tokens=4,
+                eos_id=-1)
+        for i in range(6)
+    ]
+    for r in reqs:
+        eng.submit(r)
+    eng.run_until_idle()
+    assert eng.alloc.free_count == 6  # all pages returned
+    solo = Engine(params, cfg, n_slots=1, max_len=64, page_size=8,
+                  decode_chunk_len=2, prompt_buckets=(8,))
+    for r in reqs:
+        want = Request(input_ids=r.input_ids, max_new_tokens=4, eos_id=-1)
+        solo.submit(want)
+        solo.run_until_idle()
+        assert r.tokens == want.tokens
+
+
+def test_engine_page_exhaustion_queues_not_fails(tiny):
+    cfg, params = tiny
+    eng = Engine(params, cfg, n_slots=2, max_len=64, page_size=8, total_pages=2,
+                 decode_chunk_len=2, prompt_buckets=(8,))
+    r1 = Request(input_ids=np.array([1, 5], np.int32), max_new_tokens=8, eos_id=-1)
+    r2 = Request(input_ids=np.array([1, 6], np.int32), max_new_tokens=8, eos_id=-1)
+    eng.submit(r1)
+    eng.submit(r2)  # needs pages held by r1 -> waits
+    eng.step()
+    eng.step()
+    assert eng.active_count() == 1  # r2 not admitted while r1 holds the pool
+    eng.run_until_idle()
+    assert len(r1.tokens) == 8 and len(r2.tokens) == 8
+
+
+def test_engine_multimodal_request_matches_generator(tiny):
+    cfg, params = tiny
+    from vita_tpu.constants import IMAGE_TOKEN_INDEX
+    from vita_tpu.tokenization import media_masks
+
+    img_tokens = cfg.vision.out_tokens
+    ids = [1, 3] + [IMAGE_TOKEN_INDEX] * img_tokens + [7]
+    safe, im, am = media_masks(np.array(ids))
+    sz = cfg.vision.image_size
+    images = np.asarray(jax.random.normal(jax.random.PRNGKey(5), (1, sz, sz, 3)))
+
+    g = Generator(params, cfg, max_len=128, chunk_len=2)
+    want = g.generate(safe, image_mask=im, audio_mask=am, images=images,
+                      gen=GenerationConfig(max_new_tokens=4, eos_id=-1))
+
+    eng = Engine(params, cfg, n_slots=1, max_len=128, decode_chunk_len=2)
+    req = Request(input_ids=safe, image_mask=im, audio_mask=am, images=images,
+                  max_new_tokens=4, eos_id=-1)
+    eng.submit(req)
+    eng.run_until_idle()
+    assert req.tokens == want
+
+
+def test_engine_prefill_compile_cache_bounded(tiny):
+    """Random prompt lengths compile at most one program per bucket."""
+    cfg, params = tiny
+    eng = Engine(params, cfg, n_slots=1, max_len=64, page_size=8,
+                 decode_chunk_len=2, prefill_chunk=8, prompt_buckets=(8, 16, 32))
+    rng = np.random.default_rng(0)
+    for _ in range(12):
+        n = int(rng.integers(2, 30))
+        ids = np.concatenate([[1], rng.integers(3, 100, n - 1)]).astype(np.int32)
+        r = Request(input_ids=ids, max_new_tokens=2, eos_id=-1)
+        eng.submit(r)
+        eng.run_until_idle()
+        assert len(r.tokens) == 2
+    from vita_tpu.serve import engine as engine_mod
+
+    # module-level programs shared across engines: bounded by bucket count
+    assert engine_mod._prefill_chunk_fn._cache_size() <= 8
+    assert engine_mod._embed_text._cache_size() <= 8

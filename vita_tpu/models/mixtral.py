@@ -300,12 +300,17 @@ def forward(
     attn_valid: Optional[jnp.ndarray] = None,  # [B, S_kv] bool
     cache: Optional[Params] = None,
     token_mask: Optional[jnp.ndarray] = None,  # [B, S] real (non-pad) tokens, for aux loss
+    return_hidden: bool = False,  # skip lm_head, return post-ln hidden [B, S, D]
 ) -> Tuple[jnp.ndarray, Optional[Params], jnp.ndarray]:
     """Returns (logits [B, S, V], new_cache or None, moe_aux_loss scalar).
 
     ``cache`` is either the linear KV cache from init_kv_cache, or a paged
     cache {'k_pages','v_pages','table','pos'[,'active']} (single-token
     decode against the block pool; see ops.paged_attention).
+
+    ``return_hidden=True`` returns the final-norm hidden states in place of
+    logits (callers that only need one row's logits apply lm_head to that
+    row themselves — e.g. chunked prefill).
     """
     paged = cache is not None and "k_pages" in cache
     if inputs_embeds is None:
@@ -467,7 +472,7 @@ def forward(
         )
 
     x = rms_norm(x, params["ln_final"], cfg.rms_eps)
-    logits = x @ params["lm_head"]
+    logits = x if return_hidden else x @ params["lm_head"]
 
     new_cache = None
     if paged:

@@ -160,7 +160,7 @@ def build_labels(
     return jnp.where(keep, input_ids, IGNORE_INDEX)
 
 
-def forward(
+def fuse_embeddings(
     params: Params,
     cfg: VITAConfig,
     input_ids: jnp.ndarray,  # [B, S] sentinel-free ids (0 at media slots)
@@ -170,11 +170,12 @@ def forward(
     tiles_per_sample: Optional[int] = None,  # static tiles per batch row
     speech: Optional[jnp.ndarray] = None,  # [B, T, 80]
     speech_lengths: Optional[jnp.ndarray] = None,  # [B]
-    attn_valid: Optional[jnp.ndarray] = None,  # [B, S_kv]
-    cache: Optional[Params] = None,
-    token_mask: Optional[jnp.ndarray] = None,
-) -> Tuple[jnp.ndarray, Optional[Params], jnp.ndarray]:
-    """Full multimodal forward. Returns (logits, new_cache, moe_aux)."""
+) -> jnp.ndarray:
+    """Token embeddings with media features merged in: [B, S, D].
+
+    The encoder+merge half of the forward pass, exposed separately so the
+    serving engine can run it once per request and then feed the LLM in
+    prefill chunks (inputs_embeds slices)."""
     b, s = input_ids.shape
     embeds = jnp.take(params["llm"]["embed"], input_ids, axis=0)
 
@@ -190,8 +191,28 @@ def forward(
         image_mask = jnp.zeros((b, s), bool)
     if audio_mask is None:
         audio_mask = jnp.zeros((b, s), bool)
-    embeds = merge_embeddings(embeds, image_mask, audio_mask, image_feats, audio_feats)
+    return merge_embeddings(embeds, image_mask, audio_mask, image_feats, audio_feats)
 
+
+def forward(
+    params: Params,
+    cfg: VITAConfig,
+    input_ids: jnp.ndarray,  # [B, S] sentinel-free ids (0 at media slots)
+    image_mask: Optional[jnp.ndarray] = None,  # [B, S]
+    audio_mask: Optional[jnp.ndarray] = None,
+    images: Optional[jnp.ndarray] = None,  # [N_tiles_total, H, W, 3], batch-major
+    tiles_per_sample: Optional[int] = None,  # static tiles per batch row
+    speech: Optional[jnp.ndarray] = None,  # [B, T, 80]
+    speech_lengths: Optional[jnp.ndarray] = None,  # [B]
+    attn_valid: Optional[jnp.ndarray] = None,  # [B, S_kv]
+    cache: Optional[Params] = None,
+    token_mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, Optional[Params], jnp.ndarray]:
+    """Full multimodal forward. Returns (logits, new_cache, moe_aux)."""
+    embeds = fuse_embeddings(
+        params, cfg, input_ids, image_mask, audio_mask,
+        images, tiles_per_sample, speech, speech_lengths,
+    )
     return mixtral.forward(
         params["llm"], cfg.llm,
         inputs_embeds=embeds, attn_valid=attn_valid, cache=cache,

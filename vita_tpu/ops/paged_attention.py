@@ -159,6 +159,35 @@ def _paged_attn_kernel(
         o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
 
 
+def _paged_attention_xla(q, k_pages, v_pages, tables, lengths, layer, scale):
+    """Reference/fallback path (non-TPU backends): gather the slot's pages
+    and run dense masked attention. Same math as the kernel; used for CPU
+    tests and development where the Mosaic DMA interpreter is unavailable."""
+    b, hq, d = q.shape
+    _, hkv, _, page_size, _ = k_pages.shape
+    group = hq // hkv
+    kl = jax.lax.dynamic_index_in_dim(k_pages, layer, 0, keepdims=False)
+    vl = jax.lax.dynamic_index_in_dim(v_pages, layer, 0, keepdims=False)
+    # pool ids may be OOB sentinels; clamp (rows are masked by lengths)
+    t = jnp.clip(tables, 0, kl.shape[1] - 1)
+    k = kl[:, t]  # [Hkv, B, maxp, page, d]
+    v = vl[:, t]
+    s_len = t.shape[1] * page_size
+    k = k.reshape(hkv, b, s_len, d)
+    v = v.reshape(hkv, b, s_len, d)
+    qg = q.reshape(b, hkv, group, d).astype(jnp.float32) * scale
+    s = jnp.einsum("bhgd,hbsd->bhgs", qg, k.astype(jnp.float32))
+    mask = jnp.arange(s_len)[None, :] < lengths[:, None]  # [B, S]
+    s = jnp.where(mask[:, None, None, :], s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    out = jnp.einsum("bhgs,hbsd->bhgd", p, v.astype(jnp.float32))
+    out = out / jnp.where(l == 0.0, 1.0, l)
+    out = jnp.where(lengths[:, None, None, None] > 0, out, 0.0)
+    return out.reshape(b, hq, d).astype(q.dtype)
+
+
 def paged_attention(
     q: jnp.ndarray,  # [B, Hq, d] — one decode token per slot
     k_pages: jnp.ndarray,  # [L, Hkv, P, page, d]
@@ -175,6 +204,20 @@ def paged_attention(
         raise ValueError(f"q heads ({hq}) not a multiple of kv heads ({hkv})")
     group = hq // hkv
     scale = scale if scale is not None else d**-0.5
+    # Off-TPU: use the XLA fallback unless the caller forced the Mosaic
+    # interpreter (kernel unit tests) — the interpreter's shared-memory
+    # simulation is not reliable under the engine's threaded usage.
+    from jax._src import config as _jax_config
+
+    interpret_forced = (
+        _jax_config.pallas_tpu_interpret_mode_context_manager.value is not None
+    )
+    if jax.default_backend() != "tpu" and not interpret_forced:
+        return _paged_attention_xla(
+            q, k_pages, v_pages, tables.astype(jnp.int32),
+            lengths.astype(jnp.int32), jnp.asarray(layer, jnp.int32).reshape(()),
+            float(scale),
+        )
     layer = jnp.asarray(layer, jnp.int32).reshape(1)
 
     kernel = functools.partial(
@@ -243,7 +286,9 @@ def install_prefill_pages(
     v_lin: jnp.ndarray,
     page_ids: jnp.ndarray,  # [S / page] int32 destination pages
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Scatter a linear prefill cache into the page pool."""
+    """Scatter a linear prefill cache into the page pool. Out-of-range page
+    ids (>= pool size) are dropped — callers pad the id vector with OOB
+    entries to keep its shape static."""
     n_layers, _, s, hkv, d = k_lin.shape
     page_size = k_pages.shape[3]
     n_pp = s // page_size
@@ -252,6 +297,10 @@ def install_prefill_pages(
         x = x[:, 0].transpose(0, 2, 1, 3)  # [L, Hkv, S, d]
         return x.reshape(n_layers, hkv, n_pp, page_size, d)
 
-    k_pages = k_pages.at[:, :, page_ids].set(to_pages(k_lin).astype(k_pages.dtype))
-    v_pages = v_pages.at[:, :, page_ids].set(to_pages(v_lin).astype(v_pages.dtype))
+    k_pages = k_pages.at[:, :, page_ids].set(
+        to_pages(k_lin).astype(k_pages.dtype), mode="drop"
+    )
+    v_pages = v_pages.at[:, :, page_ids].set(
+        to_pages(v_lin).astype(v_pages.dtype), mode="drop"
+    )
     return k_pages, v_pages

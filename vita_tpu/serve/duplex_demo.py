@@ -90,18 +90,6 @@ def main(argv: Optional[List[str]] = None) -> int:
     # two replicas — deployed as disjoint slice halves; here two engines
     engines = [Engine(params, cfg, n_slots=2, max_len=args.max_len, seed=i)
                for i in range(2)]
-    threads = [EngineThread(e) for e in engines]
-    for t in threads:
-        t.start()
-
-    def on_text(chunk: str) -> None:
-        sys.stdout.write(chunk)
-        sys.stdout.flush()
-
-    def on_tts(sentence: str) -> None:
-        print(f"\n[tts] {sentence.strip()!r}")
-
-    ctl = DuplexController(engines, decode, on_text, on_tts)
 
     def make_query(segment: np.ndarray) -> Request:
         feats = fbank(segment)
@@ -114,6 +102,30 @@ def main(argv: Optional[List[str]] = None) -> int:
             input_ids=safe, audio_mask=am, speech=feats, speech_length=len(feats),
             max_new_tokens=args.max_new_tokens, eos_id=eos_id,
         )
+
+    # Warm both engines' compiled programs (audio embed + prefill chunks +
+    # decode chunk) before the real-time session starts — compiles must not
+    # eat the interaction timeline (remote TPU compiles take minutes).
+    t0 = time.time()
+    for e in engines:
+        warm = make_query(np.zeros(int(3.0 * SAMPLE_RATE), np.float32))
+        warm.max_new_tokens = 9
+        e.submit(warm)
+        e.run_until_idle()
+    print(f"[demo] engines warm in {time.time()-t0:.1f}s")
+
+    threads = [EngineThread(e) for e in engines]
+    for t in threads:
+        t.start()
+
+    def on_text(chunk: str) -> None:
+        sys.stdout.write(chunk)
+        sys.stdout.flush()
+
+    def on_tts(sentence: str) -> None:
+        print(f"\n[tts] {sentence.strip()!r}")
+
+    ctl = DuplexController(engines, decode, on_text, on_tts)
 
     vad = StreamingVAD(VADConfig(min_dialog_s=1.5))
     if args.wav:
@@ -143,6 +155,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     time.sleep(args.settle_s)
     for t in threads:
         t.stop()
+    for t in threads:  # let in-flight dispatches land (clean runtime exit)
+        t.join(timeout=60)
     print(f"\n[demo] done: {n_queries} queries, {ctl.interrupts} interrupt(s), "
           f"{ctl.rejected_noise} noise rejection(s), final generator: engine "
           f"{ctl.generator_idx}")

@@ -1,32 +1,59 @@
-"""Serving engine: slot-based continuous batching with streaming output.
+"""Serving engine v2: continuous batching with paged KV + chunked prefill.
 
-TPU-native replacement for the reference's patched-vLLM serving stack
-(web_demo/vllm_tools/, AsyncLLMEngine usage in web_interactive_demo.py):
-a fixed pool of KV-cache slots; new requests prefill into a free slot
-while existing slots keep decoding (one batched decode step per tick);
-tokens stream to per-request callbacks; requests support cancellation
-mid-decode (the duplex interrupt path, web_interactive_demo.py:345-351).
+TPU-native equivalent of the reference's patched-vLLM serving stack
+(web_demo/vllm_tools/vllm_file/mixtral.py:484-489 — paged attention +
+scheduler; AsyncLLMEngine usage in web_interactive_demo.py):
 
-Static shapes throughout: the global cache is [L, n_slots, max_len, H, D];
-per-slot depths live in a host-side position array; inactive slots are
-masked out of the batched step by pointing their cache writes past the
-end (XLA scatter drops out-of-range writes).
+- **Paged KV**: all slots share one page pool (ops.paged_attention); a
+  request allocates ceil((prompt+max_new)/page) pages at admission, so HBM
+  is sized by real context lengths — >2x effective batch at the same HBM
+  vs the round-1 per-slot [max_len] cache.
+- **Chunked prefill**: a prompt prefills ``prefill_chunk`` tokens per
+  engine tick into a linear scratch (flash attention), interleaved with
+  decode ticks, so decoding slots stall at most one chunk — never a whole
+  prompt. The finished scratch is scattered into the pool
+  (install_prefill_pages) and the first token is sampled inside the last
+  chunk's program.
+- **On-device chunked decode**: one sampling.decode_chunk dispatch advances
+  every active slot ``decode_chunk_len`` tokens; the host reads back one
+  small int32 array per tick (not a logits row per token).
+- **Bucketed shapes**: prompts, image tiles and audio frames pad to fixed
+  buckets so the XLA program cache stays bounded.
+
+Requests stream tokens to callbacks and support cancellation mid-decode
+(the duplex interrupt path, web_interactive_demo.py:345-351).
 """
 
 from __future__ import annotations
 
+import collections
 import dataclasses
+import functools
 import itertools
 import queue
 import threading
 import time
-from typing import Any, Callable, Dict, List, Optional
+from typing import Any, Callable, Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from vita_tpu.generate import (
+    DEFAULT_FRAME_BUCKETS,
+    DEFAULT_PROMPT_BUCKETS,
+    DEFAULT_TILE_BUCKETS,
+    pad_axis0,
+)
 from vita_tpu.models import mixtral, vita
+from vita_tpu.ops.paged_attention import (
+    PagePool,
+    init_page_pool,
+    install_prefill_pages,
+    pages_needed,
+)
+from vita_tpu.sampling import decode_chunk, sample_tokens
+from vita_tpu.tokenization import pad_to_bucket
 
 
 @dataclasses.dataclass
@@ -34,6 +61,8 @@ class Request:
     input_ids: np.ndarray  # [S] sentinel-free ids
     max_new_tokens: int = 512
     temperature: float = 0.0
+    top_k: int = 0
+    top_p: float = 1.0
     eos_id: int = 2
     image_mask: Optional[np.ndarray] = None
     audio_mask: Optional[np.ndarray] = None
@@ -64,8 +93,68 @@ class Request:
         return (len(self.tokens) - 1) / dt if dt > 0 and len(self.tokens) > 1 else 0.0
 
 
+# ---- module-level jitted programs (shared across Engine instances, e.g.
+# the two duplex replicas — one compile serves both) ----------------------
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _embed_text(params, cfg, ids):
+    del cfg
+    return jnp.take(params["llm"]["embed"], ids, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _embed_media(params, cfg, ids, im, am, images, speech, sl):
+    return vita.fuse_embeddings(
+        params, cfg, ids, image_mask=im, audio_mask=am,
+        images=images, speech=speech, speech_lengths=sl,
+    )
+
+
+@functools.partial(
+    jax.jit, donate_argnames=("sk", "sv"), static_argnames=("llm", "chunk")
+)
+def _prefill_chunk_fn(llm_params, sk, sv, embeds, offset, true_len,
+                      temp, tk, tp, key, *, llm, chunk):
+    """One prefill chunk into the linear scratch; samples the first token
+    from the row holding position true_len-1 (valid on the last chunk)."""
+    p_len, d = embeds.shape[1], embeds.shape[2]
+    x = jax.lax.dynamic_slice(embeds, (0, offset, 0), (1, chunk, d))
+    c = {"k": sk, "v": sv, "pos": offset[None]}
+    positions = offset + jnp.arange(chunk)[None]
+    valid = jnp.arange(p_len)[None] < offset + chunk
+    hidden, nc, _ = mixtral.forward(
+        llm_params, llm, inputs_embeds=x, positions=positions,
+        attn_valid=valid, cache=c, return_hidden=True,
+    )
+    row = jnp.clip(true_len - 1 - offset, 0, chunk - 1)
+    h = jax.lax.dynamic_slice(hidden, (0, row, 0), (1, 1, d))[:, 0]
+    logits = h @ llm_params["lm_head"]
+    key, sub = jax.random.split(key)
+    tok = sample_tokens(logits, sub, temp, tk, tp)
+    return nc["k"], nc["v"], tok, key
+
+
+@functools.partial(jax.jit, donate_argnames=("kp", "vp"))
+def _install_fn(kp, vp, sk, sv, page_ids):
+    return install_prefill_pages(kp, vp, sk, sv, page_ids)
+
+
+@dataclasses.dataclass
+class _PrefillJob:
+    req: Request
+    slot: int
+    pages: List[int]
+    true_len: int
+    bucket: int
+    chunk: int  # chunk size for this bucket
+    offset: int = 0
+    embeds: Any = None  # [1, P, D] device
+    sk: Any = None  # scratch kv [L, 1, P, Hkv, hd]
+    sv: Any = None
+    tok: Any = None  # sampled first token (device) after last chunk
+
+
 class Engine:
-    """Single-model continuous-batching engine."""
+    """Single-model continuous-batching engine over a paged KV pool."""
 
     def __init__(
         self,
@@ -75,91 +164,77 @@ class Engine:
         max_len: int = 4096,
         seed: int = 0,
         decode_moe_mode: Optional[str] = None,  # None=inherit cfg.llm.moe_mode
+        page_size: int = 64,
+        total_pages: Optional[int] = None,  # default: n_slots * max_len / page
+        prefill_chunk: int = 256,
+        decode_chunk_len: int = 8,
+        prompt_buckets: Sequence[int] = DEFAULT_PROMPT_BUCKETS,
+        tile_buckets: Sequence[int] = DEFAULT_TILE_BUCKETS,
+        frame_buckets: Sequence[int] = DEFAULT_FRAME_BUCKETS,
     ):
         self.params = params
         self.cfg = cfg
         self.n_slots = n_slots
         self.max_len = max_len
-        self.rng = np.random.default_rng(seed)
+        page_size = min(page_size, max_len)
+        self.page_size = page_size
+        self.decode_chunk_len = decode_chunk_len
+        self.prefill_chunk = prefill_chunk
+        buckets = sorted(b for b in prompt_buckets if b <= max_len)
+        if not buckets or buckets[-1] < max_len:
+            buckets.append(-(-max_len // page_size) * page_size)
+        if any(b % page_size for b in buckets):
+            raise ValueError("prompt buckets must be multiples of page_size")
+        self.prompt_buckets = tuple(buckets)
+        self.tile_buckets = tuple(sorted(tile_buckets))
+        self.frame_buckets = tuple(sorted(frame_buckets))
 
-        # Decode MoE path. None inherits cfg.llm.moe_mode so prefill and
-        # decode use the same math by default; 'gather' reads only the
-        # selected experts (same weights, zero copies — the kernel indexes
-        # the stacked arrays directly); 'gather_q' additionally keeps an
-        # int8 expert copy (~half the expert bytes) for 2x faster decode.
+        # Decode MoE path: 'gather' reads only the selected experts;
+        # 'gather_q' additionally keeps an int8 expert copy (2x less HBM).
         if decode_moe_mode is None:
             decode_moe_mode = cfg.llm.moe_mode
         if decode_moe_mode not in ("dense", "capacity", "gather", "gather_q"):
-            raise ValueError(
-                f"decode_moe_mode must be dense|capacity|gather|gather_q, "
-                f"got {decode_moe_mode!r}"
-            )
-        self._decode_llm_cfg = dataclasses.replace(cfg.llm, moe_mode=decode_moe_mode)
+            raise ValueError(f"bad decode_moe_mode {decode_moe_mode!r}")
+        self._decode_cfg = dataclasses.replace(cfg.llm, moe_mode=decode_moe_mode)
         if decode_moe_mode == "gather_q":
             self._decode_llm = mixtral.quantize_moe_for_decode(params["llm"])
         else:
             self._decode_llm = params["llm"]
 
-        self.cache = mixtral.init_kv_cache(cfg.llm, n_slots, max_len)
-        self.pos = np.zeros(n_slots, np.int32)  # host-side slot depths
-        self.slot_req: List[Optional[Request]] = [None] * n_slots
-        self.queue: "queue.Queue[Request]" = queue.Queue()
-
         llm = cfg.llm
+        self.max_pages_per_slot = pages_needed(max_len, page_size)
+        if total_pages is None:
+            total_pages = n_slots * self.max_pages_per_slot
+        self.total_pages = total_pages
+        pool = init_page_pool(
+            llm.n_layers, llm.n_kv_heads, total_pages, page_size, llm.head_dim,
+            dtype=llm.dtype,
+        )
+        self.alloc = PagePool(total_pages)
+        self._table_np = np.zeros((n_slots, self.max_pages_per_slot), np.int32)
+        self.cache = {
+            "k_pages": pool["k_pages"],
+            "v_pages": pool["v_pages"],
+            "table": jnp.asarray(self._table_np),
+            "pos": jnp.zeros((n_slots,), jnp.int32),
+        }
 
-        @jax.jit
-        def _prefill(params, ids, image_mask, audio_mask, images, speech, speech_lengths):
-            """Batch-1 prefill with its own scratch cache; returns last
-            logits + the kv to install into a slot."""
-            scratch = mixtral.init_kv_cache(llm, 1, max_len)
-            logits, new_cache, _ = vita.forward(
-                params, cfg, ids,
-                image_mask=image_mask, audio_mask=audio_mask,
-                images=images, speech=speech, speech_lengths=speech_lengths,
-                attn_valid=jnp.arange(max_len)[None] < ids.shape[1],
-                cache=scratch,
-            )
-            return logits[:, -1], new_cache["k"], new_cache["v"]
+        # host-side slot state
+        self.pos = np.zeros(n_slots, np.int32)
+        self.slot_req: List[Optional[Request]] = [None] * n_slots
+        self._skip: List[int] = [0] * n_slots  # dedupe early-emitted first token
+        self._temps = np.zeros(n_slots, np.float32)
+        self._topk = np.zeros(n_slots, np.int32)
+        self._topp = np.ones(n_slots, np.float32)
+        self._tok_dev = jnp.zeros((n_slots,), jnp.int32)
+        self._key = jax.random.PRNGKey(seed)
 
-        @jax.jit
-        def _prefill_text(params, ids):
-            scratch = mixtral.init_kv_cache(llm, 1, max_len)
-            logits, new_cache, _ = vita.forward(
-                params, cfg, ids,
-                attn_valid=jnp.arange(max_len)[None] < ids.shape[1],
-                cache=scratch,
-            )
-            return logits[:, -1], new_cache["k"], new_cache["v"]
-
-        @jax.jit
-        def _install(cache, slot_k, slot_v, slot):
-            k = jax.lax.dynamic_update_slice(cache["k"], slot_k, (0, slot, 0, 0, 0))
-            v = jax.lax.dynamic_update_slice(cache["v"], slot_v, (0, slot, 0, 0, 0))
-            return {"k": k, "v": v, "pos": cache["pos"]}
-
-        decode_cfg = self._decode_llm_cfg
-
-        @jax.jit
-        def _step(llm_params, cache, toks, pos, active):
-            # inactive slots write past the cache end (dropped) and are
-            # masked out of attention
-            write_pos = jnp.where(active, pos, max_len)
-            c = {"k": cache["k"], "v": cache["v"], "pos": write_pos}
-            valid = jnp.arange(max_len)[None, :] <= pos[:, None]
-            valid &= active[:, None]
-            logits, new_cache, _ = mixtral.forward(
-                llm_params, decode_cfg, input_ids=toks[:, None],
-                positions=pos[:, None], attn_valid=valid, cache=c,
-            )
-            return logits[:, -1], {"k": new_cache["k"], "v": new_cache["v"],
-                                   "pos": cache["pos"]}
-
-        self._prefill = _prefill
-        self._prefill_text = _prefill_text
-        self._install = _install
-        self._step = _step
-        self._last_tok = np.zeros(n_slots, np.int32)
+        self.queue: "queue.Queue[Request]" = queue.Queue()
+        self._pending: collections.deque = collections.deque()
+        self._prefill_job: Optional[_PrefillJob] = None
         self._finished: List[Request] = []
+
+        del llm  # programs are module-level (shared across engines)
 
     # -- public API -------------------------------------------------------
     def submit(self, req: Request) -> Request:
@@ -177,8 +252,10 @@ class Engine:
         done = self._finished
         out: Dict[str, float] = {
             "active": float(self.active_count()),
-            "queued": float(self.queue.qsize()),
+            "queued": float(self.queue.qsize() + len(self._pending)),
             "completed": float(len(done)),
+            "free_pages": float(self.alloc.free_count),
+            "total_pages": float(self.total_pages),
         }
         if done:
             ttfts = sorted(r.ttft_s for r in done)
@@ -197,6 +274,10 @@ class Engine:
         for r in self.slot_req:
             if r is not None:
                 r.cancel()
+        if self._prefill_job is not None:
+            self._prefill_job.req.cancel()
+        for r in self._pending:
+            r.cancel()
         try:
             while True:
                 self.queue.get_nowait().cancel()
@@ -204,113 +285,207 @@ class Engine:
             pass
 
     def step(self) -> int:
-        """One engine tick: admit waiting requests, decode one token for
-        all active slots. Returns number of active slots after the tick."""
+        """One engine tick: advance the in-flight prefill by one chunk,
+        then decode one chunk for all active slots. Returns the number of
+        busy units (active slots + in-flight prefill)."""
         self._admit()
-        active_idx = [i for i, r in enumerate(self.slot_req) if r is not None]
-        if not active_idx:
-            return 0
-
-        active = np.zeros(self.n_slots, bool)
-        active[active_idx] = True
-        logits, self.cache = self._step(
-            self._decode_llm, self.cache,
-            jnp.asarray(self._last_tok), jnp.asarray(self.pos), jnp.asarray(active),
-        )
-        logits = np.asarray(logits)
-
-        for i in active_idx:
-            req = self.slot_req[i]
-            self.pos[i] += 1
-            tok = self._sample(logits[i], req.temperature)
-            self._emit(i, req, tok)
-        return self.active_count()
+        self._prefill_tick()
+        self._decode_tick()
+        return self.active_count() + (1 if self._prefill_job else 0)
 
     def run_until_idle(self, max_ticks: int = 100000) -> None:
         for _ in range(max_ticks):
-            if self.step() == 0 and self.queue.empty():
+            if (
+                self.step() == 0
+                and self.queue.empty()
+                and not self._pending
+            ):
                 return
 
-    # -- internals --------------------------------------------------------
-    def _sample(self, logits: np.ndarray, temperature: float) -> int:
-        if temperature <= 0.0:
-            return int(np.argmax(logits))
-        x = logits.astype(np.float64) / temperature
-        p = np.exp(x - x.max())
-        p /= p.sum()
-        return int(self.rng.choice(len(p), p=p))
+    # -- internals ----------------------------------------------------------
+    def _admit(self) -> None:
+        # drain the thread-safe queue into the ordered pending deque
+        try:
+            while True:
+                self._pending.append(self.queue.get_nowait())
+        except queue.Empty:
+            pass
+        while self._pending and self._pending[0].cancelled:
+            self._free_request(self._pending.popleft(), "cancelled")
+        if self._prefill_job is not None or not self._pending:
+            return
+        free_slots = [i for i, r in enumerate(self.slot_req) if r is None]
+        if not free_slots:
+            return
+        req = self._pending[0]
+        s = len(req.input_ids)
+        n_pages = pages_needed(s + req.max_new_tokens, self.page_size)
+        pages = self.alloc.alloc(n_pages)
+        if pages is None:
+            return  # head-of-line waits for pages (FIFO, no starvation)
+        self._pending.popleft()
+        self._start_prefill(free_slots[0], req, pages)
 
-    def _emit(self, slot: int, req: Request, tok: int) -> None:
+    def _start_prefill(self, slot: int, req: Request, pages: List[int]) -> None:
+        s = len(req.input_ids)
+        padded, _ = pad_to_bucket(req.input_ids, self.prompt_buckets, pad_id=0)
+        bucket = len(padded)
+        ids = jnp.asarray(np.asarray(padded, np.int32))[None]
+
+        if req.images is None and req.speech is None:
+            embeds = _embed_text(self.params, self.cfg, ids)
+        else:
+            def padmask(m):
+                out = np.zeros(bucket, bool)
+                if m is not None:
+                    out[:s] = np.asarray(m, bool)
+                return jnp.asarray(out)[None]
+
+            img = (
+                jnp.asarray(pad_axis0(np.asarray(req.images), self.tile_buckets))
+                if req.images is not None else None
+            )
+            sp = sl = None
+            if req.speech is not None:
+                sp = jnp.asarray(
+                    pad_axis0(np.asarray(req.speech), self.frame_buckets)
+                )[None]
+                sl = jnp.asarray([req.speech_length or req.speech.shape[0]], jnp.int32)
+            embeds = _embed_media(
+                self.params, self.cfg, ids, padmask(req.image_mask),
+                padmask(req.audio_mask), img, sp, sl,
+            )
+
+        llm = self.cfg.llm
+        shape = (llm.n_layers, 1, bucket, llm.n_kv_heads, llm.head_dim)
+        chunk = self.prefill_chunk if bucket % self.prefill_chunk == 0 else bucket
+        self._prefill_job = _PrefillJob(
+            req=req, slot=slot, pages=pages, true_len=s, bucket=bucket,
+            chunk=min(chunk, bucket),
+            embeds=embeds,
+            sk=jnp.zeros(shape, llm.dtype), sv=jnp.zeros(shape, llm.dtype),
+        )
+
+    def _prefill_tick(self) -> None:
+        job = self._prefill_job
+        if job is None:
+            return
+        if job.req.cancelled:
+            self.alloc.release(job.pages)
+            self._free_request(job.req, "cancelled")
+            self._prefill_job = None
+            return
+        job.sk, job.sv, job.tok, self._key = _prefill_chunk_fn(
+            self.params["llm"], job.sk, job.sv, job.embeds,
+            jnp.int32(job.offset), jnp.int32(job.true_len),
+            jnp.asarray([job.req.temperature], jnp.float32),
+            jnp.asarray([job.req.top_k], jnp.int32),
+            jnp.asarray([job.req.top_p], jnp.float32),
+            self._key, llm=self.cfg.llm, chunk=job.chunk,
+        )
+        job.offset += job.chunk
+        if job.offset < min(-(-job.true_len // job.chunk) * job.chunk, job.bucket):
+            return  # more chunks to go
+        self._finish_prefill(job)
+        self._prefill_job = None
+
+    def _finish_prefill(self, job: _PrefillJob) -> None:
+        # scatter scratch into the pool: fixed-width page-id vector padded
+        # with OOB ids (dropped by the scatter)
+        n_pp = job.bucket // self.page_size
+        ids = np.full(n_pp, self.total_pages, np.int32)
+        use = min(n_pp, len(job.pages))
+        ids[:use] = job.pages[:use]
+        self.cache["k_pages"], self.cache["v_pages"] = _install_fn(
+            self.cache["k_pages"], self.cache["v_pages"],
+            job.sk, job.sv, jnp.asarray(ids),
+        )
+        slot, req = job.slot, job.req
+        self._table_np[slot] = 0
+        self._table_np[slot, : len(job.pages)] = job.pages
+        self.cache["table"] = jnp.asarray(self._table_np)
+        self.slot_req[slot] = req
+        self.pos[slot] = job.true_len
+        self._temps[slot] = req.temperature
+        self._topk[slot] = req.top_k
+        self._topp[slot] = req.top_p
+        self._tok_dev = self._tok_dev.at[slot].set(job.tok[0])
+        setattr(req, "_pages", job.pages)
+        # early first-token emission (device sync; the value is already
+        # computed, this costs one readback and buys chunk_len steps of TTFT)
+        tok0 = int(np.asarray(job.tok)[0])
+        self._skip[slot] = 1
+        self._emit(slot, req, tok0)
+
+    def _decode_tick(self) -> None:
+        active_idx = [i for i, r in enumerate(self.slot_req) if r is not None]
+        if not active_idx:
+            return
+        active = np.zeros(self.n_slots, bool)
+        active[active_idx] = True
+        self.cache["pos"] = jnp.asarray(self.pos)
+        new_cache, toks, self._tok_dev, self._key = decode_chunk(
+            self._decode_llm, self.cache, self._tok_dev,
+            jnp.asarray(self.pos), jnp.asarray(active),
+            jnp.asarray(self._temps), jnp.asarray(self._topk),
+            jnp.asarray(self._topp), self._key,
+            llm_cfg=self._decode_cfg, chunk_len=self.decode_chunk_len,
+        )
+        self.cache = new_cache
+        toks = np.asarray(toks)
+        for i in active_idx:
+            req = self.slot_req[i]
+            for j, t in enumerate(toks[i]):
+                if self._skip[i] > 0:
+                    self._skip[i] -= 1
+                    self.pos[i] += 1
+                    continue
+                self.pos[i] += 1
+                if self._emit(i, req, int(t)):
+                    break
+            else:
+                continue
+
+    # -- emission -----------------------------------------------------------
+    def _emit(self, slot: int, req: Request, tok: int) -> bool:
+        """Deliver one token; returns True when the request finished."""
         if not req.tokens:
             req.first_token_time = time.time()
+        if req.cancelled:
+            self._free_slot(slot, req, "cancelled")
+            return True
         req.tokens.append(tok)
-        self._last_tok[slot] = tok
         if req.on_token is not None:
             req.on_token(tok)
         done_reason = None
-        if req.cancelled:
-            done_reason = "cancelled"
-        elif tok == req.eos_id:
+        if tok == req.eos_id:
             done_reason = "eos"
         elif len(req.tokens) >= req.max_new_tokens:
             done_reason = "length"
         elif self.pos[slot] + 1 >= self.max_len:
             done_reason = "cache_full"
         if done_reason is not None:
-            self._free(slot, req, done_reason)
+            self._free_slot(slot, req, done_reason)
+            return True
+        return False
 
-    def _free(self, slot: int, req: Request, reason: str) -> None:
+    def _free_slot(self, slot: int, req: Request, reason: str) -> None:
         self.slot_req[slot] = None
         self.pos[slot] = 0
+        self._skip[slot] = 0
+        pages = getattr(req, "_pages", None)
+        if pages:
+            self.alloc.release(pages)
+            req._pages = None
+        self._free_request(req, reason)
+
+    def _free_request(self, req: Request, reason: str) -> None:
         req.finish_time = time.time()
         self._finished.append(req)
         if len(self._finished) > 1000:  # bounded history
             self._finished = self._finished[-500:]
         if req.on_finish is not None:
             req.on_finish(req.tokens, reason)
-
-    def _admit(self) -> None:
-        for slot in range(self.n_slots):
-            if self.slot_req[slot] is not None:
-                continue
-            try:
-                req = self.queue.get_nowait()
-            except queue.Empty:
-                return
-            if req.cancelled:
-                self._free(slot, req, "cancelled")
-                self.slot_req[slot] = None
-                continue
-            self._start(slot, req)
-
-    def _start(self, slot: int, req: Request) -> None:
-        s = len(req.input_ids)
-        ids = jnp.asarray(req.input_ids, jnp.int32)[None]
-        if req.images is None and req.speech is None:
-            logits, k, v = self._prefill_text(self.params, ids)
-        else:
-            im = (
-                jnp.asarray(req.image_mask)[None]
-                if req.image_mask is not None
-                else jnp.zeros((1, s), bool)
-            )
-            am = (
-                jnp.asarray(req.audio_mask)[None]
-                if req.audio_mask is not None
-                else jnp.zeros((1, s), bool)
-            )
-            logits, k, v = self._prefill(
-                self.params, ids, im, am,
-                jnp.asarray(req.images) if req.images is not None else None,
-                jnp.asarray(req.speech)[None] if req.speech is not None else None,
-                jnp.asarray([req.speech_length]) if req.speech is not None else None,
-            )
-        self.cache = self._install(self.cache, k, v, slot)
-        self.slot_req[slot] = req
-        # cache rows 0..s-1 hold the prompt; the next decode writes at s
-        self.pos[slot] = s
-        tok = self._sample(np.asarray(logits[0]), req.temperature)
-        self._emit(slot, req, tok)
 
 
 class EngineThread(threading.Thread):
@@ -320,13 +495,14 @@ class EngineThread(threading.Thread):
         super().__init__(daemon=True)
         self.engine = engine
         self.tick_idle_s = tick_idle_s
-        self._stop = threading.Event()
+        # NB: must not be named _stop — Thread.join() calls self._stop()
+        self._stop_evt = threading.Event()
 
     def run(self) -> None:
-        while not self._stop.is_set():
+        while not self._stop_evt.is_set():
             n = self.engine.step()
             if n == 0:
                 time.sleep(self.tick_idle_s)
 
     def stop(self) -> None:
-        self._stop.set()
+        self._stop_evt.set()
