@@ -169,6 +169,7 @@ def _config_from_json(raw: Dict[str, Any]):
         llm=build(mixtral.MixtralConfig, raw["llm"]),
         vision=build(internvit.InternViTConfig, raw["vision"]),
         audio=build(whale.WhaleConfig, raw["audio"]),
+        vision_fusion=raw.get("vision_fusion", "patch"),
     )
 
 
@@ -183,6 +184,7 @@ def config_to_json(cfg) -> Dict[str, Any]:
         "llm": dump(cfg.llm),
         "vision": dump(cfg.vision),
         "audio": dump(cfg.audio),
+        "vision_fusion": cfg.vision_fusion,
     }
 
 

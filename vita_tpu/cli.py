@@ -84,6 +84,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--max-len", type=int, default=4096)
     p.add_argument("--chunk-len", type=int, default=8,
                    help="decode tokens per device dispatch (host readback cadence)")
+    p.add_argument("--vision-fusion", default=None, choices=["patch", "framecat"],
+                   help="override vision fusion for tiny-random (checkpoints "
+                        "carry their own; framecat = VITA's 5-tuple video scheme)")
     p.add_argument("--decode-moe-mode", default=None,
                    choices=["dense", "capacity", "gather", "gather_q"],
                    help="MoE path for decode steps (default: inherit model config)")
@@ -101,7 +104,9 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     t0 = time.time()
     if args.model == "tiny-random":
-        cfg = vita.VITAConfig.tiny()
+        cfg = vita.VITAConfig.tiny(
+            **({"vision_fusion": args.vision_fusion} if args.vision_fusion else {})
+        )
         params = vita.init_params(jax.random.PRNGKey(0), cfg)
         tok = ByteTokenizer()
         encode, eos_id, bos_id = tok.encode, tok.eos_id, tok.bos_id
@@ -119,27 +124,34 @@ def main(argv: Optional[List[str]] = None) -> int:
     modality = "image" if args.image else "video" if args.video else "lang"
     has_audio = args.audio is not None
 
+    framecat = cfg.vision_fusion == "framecat"
+    group = 5 if framecat else 1
     images = None
-    n_tiles = 0
+    n_groups = 0  # <image> sentinels (tile 5-tuples under framecat)
     if args.image:
         from PIL import Image
 
-        from vita_tpu.data.image import dynamic_tile, normalize
+        from vita_tpu.data.image import dynamic_tile, dynamic_tile_framecat, normalize
 
         arr = np.asarray(Image.open(args.image).convert("RGB"))
-        if args.model == "tiny-random":  # tiny tower takes 56px, single tile
+        if framecat:
+            tiles = dynamic_tile_framecat(arr, 1, args.max_patches, cfg.vision.image_size)
+        elif args.model == "tiny-random":  # tiny tower takes 56px, single tile
             tiles = [np.asarray(Image.fromarray(arr).resize((cfg.vision.image_size,) * 2))]
         else:
             tiles = dynamic_tile(arr, 1, args.max_patches, cfg.vision.image_size, True)
         images = normalize(tiles)
-        n_tiles = len(tiles)
+        n_groups = len(tiles) // group
     elif args.video:
         from vita_tpu.data.image import normalize
-        from vita_tpu.data.video import decode_video_frames
+        from vita_tpu.data.video import decode_video_frames, decode_video_frames_framecat
 
-        frames = decode_video_frames(args.video)
+        if framecat:
+            frames = decode_video_frames_framecat(args.video, size=cfg.vision.image_size)
+        else:
+            frames = decode_video_frames(args.video, size=cfg.vision.image_size)
         images = normalize(list(frames))
-        n_tiles = len(frames)
+        n_groups = len(frames) // group
 
     speech = speech_len = None
     if has_audio:
@@ -150,7 +162,7 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     prompt = build_prompt(args.question, modality, has_audio)
     ids = tokenize_multimodal(prompt, encode, bos_id=bos_id)
-    img_counts = [n_tiles * cfg.vision.out_tokens] if images is not None else []
+    img_counts = [n_groups * cfg.vision.out_tokens] if images is not None else []
     aud_counts = [audio_token_count(speech_len)] if has_audio else []
     expanded = expand_media_sentinels(ids, img_counts, aud_counts)
     safe, im, am = media_masks(np.array(expanded))

@@ -59,6 +59,13 @@ class DataArgs:
     model_max_length: int = 8192
     is_multimodal: bool = True
     expand_media: bool = True  # expand sentinels to exact feature counts
+    # 'patch' (InternVL tiling) or 'framecat' (5-tuple mosaic groups for
+    # both images and video; must match VITAConfig.vision_fusion)
+    vision_fusion: str = "patch"
+
+    @property
+    def group_tiles(self) -> int:
+        return 5 if self.vision_fusion == "framecat" else 1
 
 
 class ConversationDataset:
@@ -129,32 +136,54 @@ class ConversationDataset:
         # Media loads degrade gracefully: a broken file logs a warning and
         # falls back to dummy media (the reference prints-and-continues on
         # bad wavs, ...neg_frameCat.py:904-909 / whale init_model.py:36-39).
+        framecat = self.args.vision_fusion == "framecat"
         if "image" in sample:
             modality = "image"
             try:
                 from PIL import Image
 
                 arr = np.asarray(Image.open(self._media_path(sample, "image")).convert("RGB"))
-                tiles = dynamic_tile(
-                    arr, self.args.min_patches, self.args.max_patches,
-                    self.args.image_size, self.args.use_thumbnail,
-                )
+                if framecat:
+                    from vita_tpu.data.image import dynamic_tile_framecat
+
+                    tiles = dynamic_tile_framecat(
+                        arr, self.args.min_patches, self.args.max_patches,
+                        self.args.image_size,
+                    )
+                else:
+                    tiles = dynamic_tile(
+                        arr, self.args.min_patches, self.args.max_patches,
+                        self.args.image_size, self.args.use_thumbnail,
+                    )
             except Exception as e:
                 print(f"WARNING: cannot load image {sample.get('image')}: {e}")
-                tiles = [np.zeros((self.args.image_size, self.args.image_size, 3), np.uint8)]
-            patch_nums = [len(tiles)]
+                tiles = [
+                    np.zeros((self.args.image_size, self.args.image_size, 3), np.uint8)
+                ] * self.args.group_tiles
+            # one <image> sentinel per tile group (tiles/5 for framecat,
+            # ...neg_frameCat.py:1303 `[len(processed_images) // 5]`)
+            patch_nums = [len(tiles) // self.args.group_tiles]
         elif "video" in sample:
             modality = "video"
             try:
-                from vita_tpu.data.video import decode_video_frames
+                if framecat:
+                    from vita_tpu.data.video import decode_video_frames_framecat
 
-                tiles = decode_video_frames(
-                    self._media_path(sample, "video"), size=self.args.image_size
-                )
+                    tiles = decode_video_frames_framecat(
+                        self._media_path(sample, "video"), size=self.args.image_size
+                    )
+                else:
+                    from vita_tpu.data.video import decode_video_frames
+
+                    tiles = decode_video_frames(
+                        self._media_path(sample, "video"), size=self.args.image_size
+                    )
             except Exception as e:
                 print(f"WARNING: cannot load video {sample.get('video')}: {e}")
-                tiles = [np.zeros((self.args.image_size, self.args.image_size, 3), np.uint8)] * 4
-            patch_nums = [1] * len(tiles)
+                tiles = [
+                    np.zeros((self.args.image_size, self.args.image_size, 3), np.uint8)
+                ] * (5 if framecat else 4)
+            patch_nums = [1] * (len(tiles) // self.args.group_tiles)
 
         audio_feats = None
         if has_audio:
@@ -170,8 +199,8 @@ class ConversationDataset:
 
         if "video" in sample:
             norm = normalize_media_tokens(
-                turns, image_token_num=len(tiles), patch_nums=patch_nums,
-                inserted_id=inserted_id,
+                turns, image_token_num=len(tiles) // self.args.group_tiles,
+                patch_nums=patch_nums, inserted_id=inserted_id,
             )
         else:
             norm = normalize_media_tokens(
@@ -187,8 +216,11 @@ class ConversationDataset:
         if tiles:
             out["images"] = normalize(tiles)
         elif self.args.is_multimodal:
+            # dummy media keeps shapes static; framecat needs a whole
+            # 5-tuple (the reference's [zeros]*5, ...neg_frameCat.py:1104)
             out["images"] = np.zeros(
-                (1, self.args.image_size, self.args.image_size, 3), np.float32
+                (self.args.group_tiles, self.args.image_size, self.args.image_size, 3),
+                np.float32,
             )
         if audio_feats is not None and len(audio_feats):
             out["audio"] = audio_feats

@@ -127,6 +127,49 @@ def normalize(
     return (x - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
 
 
+def sample_video_frames_framecat(
+    num_frames_available: int,
+    fps: float,
+    max_frames: int = 16,
+    min_frames: int = 4,
+) -> np.ndarray:
+    """frameCat frame-index sampling (...neg_frameCat.py:483-498): frame
+    COUNT comes from 1 fps coverage rounded up to a multiple of 4 (capped
+    at floor(max/4)*4); POSITIONS are taken uniformly from the 3 fps grid."""
+    stride_1fps = max(int(round(float(fps) / 1.0)), 1)
+    n_1fps = len(range(0, num_frames_available, stride_1fps))
+    num = -(-max(n_1fps, 1) // 4) * 4
+    num = min(num, (max_frames // 4) * 4)
+    num = max(num, min(min_frames, 4))
+
+    stride_3fps = max(int(round(float(fps) / 3.0)), 1)
+    grid = np.arange(0, num_frames_available, stride_3fps)
+    picks = np.linspace(0, len(grid) - 1, num=num).astype(np.int64)
+    return grid[picks]
+
+
+def assemble_framecat_frames(frames: Sequence[np.ndarray]) -> List[np.ndarray]:
+    """Group video frames into frameCat 5-tuples: every 4 consecutive
+    frames produce [2x2-mosaic, f1, f2, f3, f4]
+    (...neg_frameCat.py:499-519). Frames must share one square size; the
+    mosaic is resized back to that size. len(result) % 5 == 0."""
+    if len(frames) % 4:
+        raise ValueError(f"framecat needs a multiple of 4 frames, got {len(frames)}")
+    h, w = frames[0].shape[:2]
+    out: List[np.ndarray] = []
+    for i in range(0, len(frames), 4):
+        quad = frames[i : i + 4]
+        canvas = np.empty((2 * h, 2 * w, 3), frames[0].dtype)
+        canvas[:h, :w] = quad[0]
+        canvas[:h, w:] = quad[1]
+        canvas[h:, :w] = quad[2]
+        canvas[h:, w:] = quad[3]
+        out.append(_resize(canvas, (w, h)))
+        out.extend(quad)
+    assert len(out) % 5 == 0
+    return out
+
+
 def sample_video_frames(
     num_frames_available: int,
     fps: float,

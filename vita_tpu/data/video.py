@@ -63,3 +63,64 @@ def decode_video_frames(
         return frames
     finally:
         cap.release()
+
+
+def decode_video_frames_framecat(
+    path: str,
+    max_frames: int = MAX_IMAGE_LENGTH,
+    min_frames: int = MIN_IMAGE_LENGTH,
+    size: int = 448,
+    start_time: Optional[float] = None,
+    end_time: Optional[float] = None,
+) -> List[np.ndarray]:
+    """frameCat video decode: 3 fps sampling with the frame count rounded
+    to a multiple of 4 (reference _get_rawvideo_dec,
+    ...neg_frameCat.py:442-556), then every 4 frames grouped as
+    [2x2-mosaic, f1..f4]. Returns uint8 [size, size, 3] tiles,
+    len % 5 == 0; groups = len // 5 (one <image> sentinel each)."""
+    import cv2
+
+    from vita_tpu.data.image import assemble_framecat_frames, sample_video_frames_framecat
+
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise IOError(f"cannot open video: {path}")
+    try:
+        fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+        total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        first, last = 0, max(total - 1, 0)
+        if start_time is not None:
+            first = max(first, int(start_time * fps))
+        if end_time is not None:
+            last = min(last, int(end_time * fps))
+        span = max(last - first + 1, 1)
+
+        rel = sample_video_frames_framecat(span, fps, max_frames, min_frames)
+        wanted = sorted(set((rel + first).tolist()))
+        frames_by_idx = {}
+        idx = 0
+        remaining = set(wanted)
+        while idx <= last and remaining:
+            ok = cap.grab()
+            if not ok:
+                break
+            if idx in remaining:
+                ok, frame = cap.retrieve()
+                if not ok:
+                    break
+                frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                frames_by_idx[idx] = cv2.resize(
+                    frame, (size, size), interpolation=cv2.INTER_CUBIC
+                )
+                remaining.discard(idx)
+            idx += 1
+        if not frames_by_idx:
+            raise IOError(f"no frames decoded from {path}")
+        # duplicated sample positions (short videos) reuse the same frame;
+        # missing tail positions clamp to the last decoded frame
+        last_ok = max(frames_by_idx)
+        frames = [frames_by_idx.get(int(i) + first, frames_by_idx[last_ok])
+                  for i in rel]
+        return assemble_framecat_frames(frames)
+    finally:
+        cap.release()

@@ -107,7 +107,9 @@ class Generator:
         if not buckets or buckets[-1] < max_len:
             buckets.append(max_len)
         self.prompt_buckets = tuple(buckets)
-        self.tile_buckets = tuple(sorted(tile_buckets))
+        # framecat tiles come in 5-tuples: buckets round up to multiples
+        g = getattr(cfg, "image_group_tiles", 1)
+        self.tile_buckets = tuple(sorted({-(-b // g) * g for b in tile_buckets}))
         self.frame_buckets = tuple(sorted(frame_buckets))
 
         # Decode MoE path (same options as serve.engine): 'gather'/'gather_q'

@@ -42,6 +42,21 @@ class VITAConfig:
     audio: whale.WhaleConfig = dataclasses.field(default_factory=whale.WhaleConfig)
     audio_adapter_kernel: int = 5
     vision_tower: str = "internvit"  # registry key into _TOWER_MODULES
+    # 'patch': every tile projects independently (InternVL-style).
+    # 'framecat': tiles come in 5-tuples [2x2-mosaic, f1..f4]; the tuple's
+    # tower features are channel-concatenated (dim -> 5C) before the
+    # projector — VITA's signature video scheme
+    # (vita/model/vita_arch.py:136-149, ...neg_frameCat.py:442-556).
+    vision_fusion: str = "patch"  # 'patch' | 'framecat'
+
+    @property
+    def vision_proj_in_dim(self) -> int:
+        return self.vision.out_dim * (5 if self.vision_fusion == "framecat" else 1)
+
+    @property
+    def image_group_tiles(self) -> int:
+        """Tiles consumed per <image> sentinel group (5 for framecat)."""
+        return 5 if self.vision_fusion == "framecat" else 1
 
     @property
     def tower_module(self):
@@ -81,7 +96,7 @@ def init_params(rng: jax.Array, cfg: VITAConfig) -> Params:
         "llm": mixtral.init_params(k[0], cfg.llm),
         "vision": cfg.tower_module.init_params(k[1], cfg.vision),
         "vision_proj": projectors.init_vision_projector(
-            k[2], cfg.vision.out_dim, d_llm, cfg.llm.dtype
+            k[2], cfg.vision_proj_in_dim, d_llm, cfg.llm.dtype
         ),
         "audio": whale.init_params(k[3], cfg.audio),
         "audio_proj": projectors.init_audio_projector(
@@ -111,8 +126,21 @@ def param_specs(cfg: VITAConfig) -> Params:
 
 
 def encode_images(params: Params, cfg: VITAConfig, images: jnp.ndarray) -> jnp.ndarray:
-    """images [N_tiles, H, W, 3] -> LLM-space features [N_tiles, T, D]."""
+    """images [N_tiles, H, W, 3] -> LLM-space features [N_groups, T, D].
+
+    N_groups == N_tiles for 'patch' fusion; for 'framecat' every 5
+    consecutive tiles [mosaic, f1..f4] channel-concatenate after the tower
+    (dim C -> 5C, same token count) before projecting
+    (vita_arch.py:136-149 encode_images_frameCat)."""
     feats = cfg.tower_module.forward(params["vision"], cfg.vision, images)
+    if cfg.vision_fusion == "framecat":
+        n, t, c = feats.shape
+        if n % 5:
+            raise ValueError(f"framecat needs tiles in 5-tuples, got {n}")
+        # [G, 5, T, C] -> [G, T, 5, C] -> [G, T, 5C]: token t's feature is
+        # the concatenation [mosaic_t, f1_t, f2_t, f3_t, f4_t]
+        feats = feats.reshape(n // 5, 5, t, c).transpose(0, 2, 1, 3)
+        feats = feats.reshape(n // 5, t, 5 * c)
     return projectors.vision_projector(params["vision_proj"], feats)
 
 
@@ -181,9 +209,9 @@ def fuse_embeddings(
 
     image_feats = audio_feats = None
     if images is not None:
-        tps = tiles_per_sample or (images.shape[0] // b)
-        feats = encode_images(params, cfg, images)  # [N, 256, D]
-        image_feats = feats.reshape(b, tps * feats.shape[1], -1)
+        del tiles_per_sample  # groups-per-sample follows from N_tiles / b
+        feats = encode_images(params, cfg, images)  # [N_groups, T, D]
+        image_feats = feats.reshape(b, -1, feats.shape[-1])
     if speech is not None:
         audio_feats, _ = encode_audio(params, cfg, speech, speech_lengths)
 

@@ -81,10 +81,10 @@ def _paged_attn_kernel(
     layer_ref,  # SMEM [1] layer index
     lengths_ref,  # SMEM [B] valid kv rows per slot (0 => inactive)
     tables_ref,  # SMEM [B, max_pages] page ids per slot
-    q_ref,  # VMEM [1, group, d] — this kv head's q group
+    q_ref,  # VMEM [1, 1, g_pad, d] — this kv head's q group (8-padded rows)
     kp_hbm,  # ANY [L, Hkv, P, page, d]
     vp_hbm,  # ANY
-    o_ref,  # VMEM [1, group, d]
+    o_ref,  # VMEM [1, 1, g_pad, d]
     kbuf,  # VMEM [2, page, d] double buffer
     vbuf,  # VMEM [2, page, d]
     sems,  # DMA sems [2, 2]
@@ -115,7 +115,7 @@ def _paged_attn_kernel(
     def _run():
         k_copy(0, 0).start()
         v_copy(0, 0).start()
-        q = q_ref[0].astype(jnp.float32) * scale  # [group, d]
+        q = q_ref[0, 0].astype(jnp.float32) * scale  # [g_pad, d]
 
         def body(i, carry):
             m, l, acc = carry
@@ -156,7 +156,7 @@ def _paged_attn_kernel(
         acc0 = jnp.zeros((group, d), jnp.float32)
         m, l, acc = jax.lax.fori_loop(0, n_pages, body, (m0, l0, acc0))
         l_safe = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
+        o_ref[0, 0] = (acc / l_safe).astype(o_ref.dtype)
 
 
 def _paged_attention_xla(q, k_pages, v_pages, tables, lengths, layer, scale):
@@ -220,28 +220,36 @@ def paged_attention(
         )
     layer = jnp.asarray(layer, jnp.int32).reshape(1)
 
+    # Mosaic needs the last-two block dims (sublane, lane) divisible by
+    # (8, 128) or full-size; pad each kv head's q group to 8 rows.
+    g_pad = max(8, -(-group // 8) * 8)
+    qg = q.reshape(b, hkv, group, d)
+    if g_pad != group:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, g_pad - group), (0, 0)))
+
     kernel = functools.partial(
-        _paged_attn_kernel, page_size=page_size, scale=float(scale), group=group
+        _paged_attn_kernel, page_size=page_size, scale=float(scale), group=g_pad
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(b, hkv),
             in_specs=[
-                pl.BlockSpec((1, group, d), lambda s, h, *_: (s, h, 0)),
+                pl.BlockSpec((1, 1, g_pad, d), lambda s, h, *_: (s, h, 0, 0)),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec((1, group, d), lambda s, h, *_: (s, h, 0)),
+            out_specs=pl.BlockSpec((1, 1, g_pad, d), lambda s, h, *_: (s, h, 0, 0)),
             scratch_shapes=[
                 pltpu.VMEM((2, page_size, d), k_pages.dtype),
                 pltpu.VMEM((2, page_size, d), v_pages.dtype),
                 pltpu.SemaphoreType.DMA((2, 2)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((b, hq, d), q.dtype),
-    )(layer, lengths.astype(jnp.int32), tables.astype(jnp.int32), q, k_pages, v_pages)
+        out_shape=jax.ShapeDtypeStruct((b, hkv, g_pad, d), q.dtype),
+    )(layer, lengths.astype(jnp.int32), tables.astype(jnp.int32), qg, k_pages, v_pages)
+    return out[:, :, :group].reshape(b, hq, d)
 
 
 # ----------------------------------------------------------------------

@@ -186,7 +186,9 @@ class Engine:
         if any(b % page_size for b in buckets):
             raise ValueError("prompt buckets must be multiples of page_size")
         self.prompt_buckets = tuple(buckets)
-        self.tile_buckets = tuple(sorted(tile_buckets))
+        # framecat tiles come in 5-tuples: buckets round up to multiples
+        g = getattr(cfg, "image_group_tiles", 1)
+        self.tile_buckets = tuple(sorted({-(-b // g) * g for b in tile_buckets}))
         self.frame_buckets = tuple(sorted(frame_buckets))
 
         # Decode MoE path: 'gather' reads only the selected experts;
