@@ -31,8 +31,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from vita_tpu.models import mixtral, vita
-from vita_tpu.sampling import decode_chunk, sample_tokens
-from vita_tpu.tokenization import pad_to_bucket
+from vita_tpu.sampling import choose_sampling_mode, decode_chunk, sample_tokens
+from vita_tpu.tokenization import audio_select_arrays, audio_token_count, pad_to_bucket
 
 DEFAULT_PROMPT_BUCKETS = (128, 256, 512, 1024, 2048, 4096)
 DEFAULT_TILE_BUCKETS = (1, 5, 13)  # dynamic-patch counts: 1 tile .. 12+thumbnail
@@ -85,6 +85,37 @@ def pad_axis0(x: np.ndarray, buckets: Sequence[int]) -> np.ndarray:
     return x
 
 
+CLIP_COUNT_BUCKETS = (1, 2, 4, 8, 16)
+
+
+def stack_speech_clips(
+    speech, speech_length, frame_buckets: Sequence[int]
+) -> Tuple[np.ndarray, np.ndarray, List[int]]:
+    """Normalize one-or-many audio clips into a static-shape stack.
+
+    Returns (clips [n_bucket, T_bucket, 80], lengths [n_bucket],
+    per-clip LLM token counts). Clip count and frame length both bucket so
+    the prefill program cache stays bounded; padding clips have length 1
+    and are never selected by the merge (audio_select addressing)."""
+    clips = list(speech) if isinstance(speech, (list, tuple)) else [speech]
+    if isinstance(speech_length, (list, tuple, np.ndarray)):
+        lens = [int(x) for x in speech_length]
+    else:
+        lens = [int(speech_length or clips[0].shape[0])]
+    if len(lens) != len(clips):
+        raise ValueError(f"{len(clips)} clips but {len(lens)} lengths")
+    counts = [audio_token_count(l) for l in lens]
+
+    padded = [pad_axis0(np.asarray(c, np.float32), frame_buckets) for c in clips]
+    t = max(p.shape[0] for p in padded)
+    padded = [np.pad(p, ((0, t - p.shape[0]), (0, 0))) for p in padded]
+    nb = next((b for b in CLIP_COUNT_BUCKETS if b >= len(padded)), len(padded))
+    while len(padded) < nb:
+        padded.append(np.zeros((t, padded[0].shape[1]), np.float32))
+        lens.append(1)
+    return np.stack(padded), np.asarray(lens, np.int32), counts
+
+
 class Generator:
     """Holds the jitted prefill/decode executables for one (cfg, shapes)."""
 
@@ -126,13 +157,15 @@ class Generator:
 
         @jax.jit
         def _prefill(params, input_ids, image_mask, audio_mask,
-                     images, speech, speech_lengths, true_len, temp, tk, tp, key):
+                     images, speech, speech_lengths, audio_select,
+                     true_len, temp, tk, tp, key):
             cache = mixtral.init_kv_cache(cfg.llm, 1, max_len)
             attn_valid = jnp.arange(max_len)[None, :] < true_len[:, None]
             logits, cache, _ = vita.forward(
                 params, cfg, input_ids,
                 image_mask=image_mask, audio_mask=audio_mask,
                 images=images, speech=speech, speech_lengths=speech_lengths,
+                audio_select=audio_select,
                 attn_valid=attn_valid, cache=cache,
             )
             last = jnp.take_along_axis(
@@ -165,8 +198,8 @@ class Generator:
         image_mask: Optional[np.ndarray] = None,
         audio_mask: Optional[np.ndarray] = None,
         images: Optional[np.ndarray] = None,
-        speech: Optional[np.ndarray] = None,
-        speech_length: Optional[int] = None,
+        speech=None,  # [T, 80] or a list of clips (multi-turn audio)
+        speech_length=None,  # int or list of ints
         gen: Optional[GenerationConfig] = None,
         seed: int = 0,
         on_token=None,
@@ -206,12 +239,20 @@ class Generator:
                 jnp.asarray(pad_axis0(np.asarray(images), self.tile_buckets))
                 if images is not None else None
             )
-            sp = sl = None
+            sp = sl = sel = None
             if speech is not None:
-                sp = jnp.asarray(pad_axis0(np.asarray(speech), self.frame_buckets))[None]
-                sl = jnp.asarray([speech_length or speech.shape[0]], jnp.int32)
+                clips, lens, counts = stack_speech_clips(
+                    speech, speech_length, self.frame_buckets
+                )
+                sp, sl = jnp.asarray(clips), jnp.asarray(lens)
+                am_np = np.zeros(p, bool)
+                if audio_mask is not None:
+                    am_np[:s] = np.asarray(audio_mask, bool)
+                ci, ri = audio_select_arrays(am_np, counts)
+                sel = (jnp.asarray(ci)[None], jnp.asarray(ri)[None])
             tok, k, v, key = self._prefill(
-                self.params, ids, im, am, img, sp, sl, true_len, temp, tk, tp, key
+                self.params, ids, im, am, img, sp, sl, sel,
+                true_len, temp, tk, tp, key,
             )
 
         cache = {"k": k, "v": v, "pos": true_len}
@@ -222,14 +263,24 @@ class Generator:
 
         # pipeline chunk dispatches one deep: enqueue chunk i+1 before
         # reading chunk i's tokens so the host round-trip is hidden.
+        mode = choose_sampling_mode(gen.temperature, gen.top_k, gen.top_p)
+
         def launch(cache, tok, pos, key):
             return decode_chunk(
                 self._decode_llm, cache, tok, jnp.asarray([pos], jnp.int32),
                 active, temp, tk, tp, key,
                 llm_cfg=self._decode_cfg, chunk_len=self.chunk_len,
+                sampling_mode=mode,
             )
 
+        def start_host_copy(x):
+            try:
+                x.copy_to_host_async()  # enqueue before the next dispatch
+            except AttributeError:
+                pass
+
         cache, toks, tok, key = launch(cache, tok, pos, key)
+        start_host_copy(toks)
         pending = toks
         pos += self.chunk_len
         if on_token is not None:
@@ -257,4 +308,5 @@ class Generator:
             if done or nxt is None:
                 return out
             cache, pending, tok, key = nxt
+            start_host_copy(pending)
             pos += self.chunk_len

@@ -158,6 +158,7 @@ def merge_embeddings(
     audio_mask: jnp.ndarray,  # [B, S] bool
     image_feats: Optional[jnp.ndarray] = None,  # [B, N_img, D] (padded)
     audio_feats: Optional[jnp.ndarray] = None,  # [B, N_aud, D] (padded)
+    audio_select: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> jnp.ndarray:
     """Vectorized scatter of media features into placeholder slots.
 
@@ -165,15 +166,35 @@ def merge_embeddings(
     k-th feature row. Counts must line up (host guarantees via
     expand_media_sentinels); excess mask positions clamp to the last
     feature (never happens for well-formed inputs).
+
+    ``audio_select`` = (clip_idx [B,S], row_idx [B,S]) addresses
+    ``audio_feats`` as [n_clips, T'', D] directly — required when one
+    prompt carries several audio clips (multi-turn audio history), where
+    each clip's valid feature rows are a prefix of its padded row block and
+    a plain cumsum gather would pick up inter-clip padding.
     """
     out = token_embeds
-    for mask, feats in ((image_mask, image_feats), (audio_mask, audio_feats)):
-        if feats is None:
-            continue
-        idx = jnp.cumsum(mask, axis=1) - 1  # [B, S]
-        idx = jnp.clip(idx, 0, feats.shape[1] - 1)
-        gathered = jnp.take_along_axis(feats, idx[..., None], axis=1).astype(out.dtype)
-        out = jnp.where(mask[..., None], gathered, out)
+    if image_feats is not None:
+        idx = jnp.cumsum(image_mask, axis=1) - 1  # [B, S]
+        idx = jnp.clip(idx, 0, image_feats.shape[1] - 1)
+        gathered = jnp.take_along_axis(
+            image_feats, idx[..., None], axis=1
+        ).astype(out.dtype)
+        out = jnp.where(image_mask[..., None], gathered, out)
+    if audio_feats is not None:
+        if audio_select is not None:
+            clip_idx, row_idx = audio_select
+            gathered = audio_feats[
+                jnp.clip(clip_idx, 0, audio_feats.shape[0] - 1),
+                jnp.clip(row_idx, 0, audio_feats.shape[1] - 1),
+            ].astype(out.dtype)
+        else:
+            idx = jnp.cumsum(audio_mask, axis=1) - 1
+            idx = jnp.clip(idx, 0, audio_feats.shape[1] - 1)
+            gathered = jnp.take_along_axis(
+                audio_feats, idx[..., None], axis=1
+            ).astype(out.dtype)
+        out = jnp.where(audio_mask[..., None], gathered, out)
     return out
 
 
@@ -196,14 +217,19 @@ def fuse_embeddings(
     audio_mask: Optional[jnp.ndarray] = None,
     images: Optional[jnp.ndarray] = None,  # [N_tiles_total, H, W, 3], batch-major
     tiles_per_sample: Optional[int] = None,  # static tiles per batch row
-    speech: Optional[jnp.ndarray] = None,  # [B, T, 80]
-    speech_lengths: Optional[jnp.ndarray] = None,  # [B]
+    speech: Optional[jnp.ndarray] = None,  # [B, T, 80] (or [n_clips, T, 80])
+    speech_lengths: Optional[jnp.ndarray] = None,  # [B] / [n_clips]
+    audio_select: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> jnp.ndarray:
     """Token embeddings with media features merged in: [B, S, D].
 
     The encoder+merge half of the forward pass, exposed separately so the
     serving engine can run it once per request and then feed the LLM in
-    prefill chunks (inputs_embeds slices)."""
+    prefill chunks (inputs_embeds slices).
+
+    ``audio_select`` (clip_idx, row_idx — tokenization.audio_select_arrays)
+    switches the audio merge to multi-clip addressing: ``speech`` rows are
+    then clips of ONE batch row (multi-turn audio history)."""
     b, s = input_ids.shape
     embeds = jnp.take(params["llm"]["embed"], input_ids, axis=0)
 
@@ -219,7 +245,10 @@ def fuse_embeddings(
         image_mask = jnp.zeros((b, s), bool)
     if audio_mask is None:
         audio_mask = jnp.zeros((b, s), bool)
-    return merge_embeddings(embeds, image_mask, audio_mask, image_feats, audio_feats)
+    return merge_embeddings(
+        embeds, image_mask, audio_mask, image_feats, audio_feats,
+        audio_select=audio_select,
+    )
 
 
 def forward(
@@ -235,11 +264,13 @@ def forward(
     attn_valid: Optional[jnp.ndarray] = None,  # [B, S_kv]
     cache: Optional[Params] = None,
     token_mask: Optional[jnp.ndarray] = None,
+    audio_select: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> Tuple[jnp.ndarray, Optional[Params], jnp.ndarray]:
     """Full multimodal forward. Returns (logits, new_cache, moe_aux)."""
     embeds = fuse_embeddings(
         params, cfg, input_ids, image_mask, audio_mask,
         images, tiles_per_sample, speech, speech_lengths,
+        audio_select=audio_select,
     )
     return mixtral.forward(
         params["llm"], cfg.llm,

@@ -22,10 +22,27 @@ from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from vita_tpu.models import mixtral
 
 NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def choose_sampling_mode(temperatures, top_ks, top_ps) -> str:
+    """Cheapest static sampling tier covering the given requests: 'greedy'
+    needs only an argmax, 'categorical' adds Gumbel sampling, 'filtered'
+    pays a full-vocab sort for top-k/top-p. The tier is baked into the
+    compiled decode program (at most 3 variants), so greedy decoding never
+    pays the ~51k-element sort."""
+    ts = np.atleast_1d(np.asarray(temperatures))
+    ks = np.atleast_1d(np.asarray(top_ks))
+    ps = np.atleast_1d(np.asarray(top_ps))
+    if np.any((ks > 0) | (ps < 1.0)):
+        return "filtered"
+    if np.any(ts > 0.0):
+        return "categorical"
+    return "greedy"
 
 
 def sample_tokens(
@@ -34,15 +51,24 @@ def sample_tokens(
     temperature: jnp.ndarray,  # [B] float; <= 0 -> greedy
     top_k: jnp.ndarray,  # [B] int32; <= 0 -> disabled
     top_p: jnp.ndarray,  # [B] float; >= 1 -> disabled
+    mode: str = "filtered",
 ) -> jnp.ndarray:
     """Sample one token per row. Greedy rows (temperature<=0) are exact
     argmax; sampled rows apply top-k then top-p on the temperature-scaled
     distribution (same order of operations as the reference's HF generate
-    configuration)."""
+    configuration).
+
+    ``mode`` (static) must cover the traced knobs (choose_sampling_mode):
+    under 'greedy'/'categorical' the filter knobs are ignored."""
     v = logits.shape[-1]
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if mode == "greedy":
+        return greedy
 
     x = logits.astype(jnp.float32) / jnp.maximum(temperature, 1e-6)[:, None]
+    if mode == "categorical":
+        sampled = jax.random.categorical(key, x, axis=-1).astype(jnp.int32)
+        return jnp.where(temperature <= 0.0, greedy, sampled)
     order = jnp.argsort(-x, axis=-1)  # descending
     x_sorted = jnp.take_along_axis(x, order, axis=-1)
 
@@ -64,7 +90,9 @@ def sample_tokens(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("llm_cfg", "chunk_len"), donate_argnames=("cache",)
+    jax.jit,
+    static_argnames=("llm_cfg", "chunk_len", "sampling_mode"),
+    donate_argnames=("cache",),
 )
 def decode_chunk(
     llm_params: Dict[str, Any],
@@ -79,6 +107,7 @@ def decode_chunk(
     *,
     llm_cfg: mixtral.MixtralConfig,
     chunk_len: int,
+    sampling_mode: str = "filtered",
 ) -> Tuple[Dict[str, Any], jnp.ndarray, jnp.ndarray, jax.Array]:
     """Run ``chunk_len`` decode steps fully on device.
 
@@ -106,7 +135,8 @@ def decode_chunk(
                 positions=pos[:, None], cache=c,
             )
             key, sub = jax.random.split(key)
-            nxt = sample_tokens(logits[:, -1], sub, temperature, top_k, top_p)
+            nxt = sample_tokens(logits[:, -1], sub, temperature, top_k, top_p,
+                                mode=sampling_mode)
             return (
                 {"k_pages": nc["k_pages"], "v_pages": nc["v_pages"]},
                 nxt, pos + 1, key,
@@ -132,7 +162,8 @@ def decode_chunk(
             positions=pos[:, None], attn_valid=valid, cache=c,
         )
         key, sub = jax.random.split(key)
-        nxt = sample_tokens(logits[:, -1], sub, temperature, top_k, top_p)
+        nxt = sample_tokens(logits[:, -1], sub, temperature, top_k, top_p,
+                            mode=sampling_mode)
         return ({"k": nc["k"], "v": nc["v"]}, nxt, pos + 1, key), tok
 
     (kv, tok, pos, key), toks = jax.lax.scan(

@@ -52,7 +52,7 @@ from vita_tpu.ops.paged_attention import (
     install_prefill_pages,
     pages_needed,
 )
-from vita_tpu.sampling import decode_chunk, sample_tokens
+from vita_tpu.sampling import choose_sampling_mode, decode_chunk, sample_tokens
 from vita_tpu.tokenization import pad_to_bucket
 
 
@@ -102,10 +102,11 @@ def _embed_text(params, cfg, ids):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _embed_media(params, cfg, ids, im, am, images, speech, sl):
+def _embed_media(params, cfg, ids, im, am, images, speech, sl, audio_select):
     return vita.fuse_embeddings(
         params, cfg, ids, image_mask=im, audio_mask=am,
         images=images, speech=speech, speech_lengths=sl,
+        audio_select=audio_select,
     )
 
 
@@ -234,6 +235,7 @@ class Engine:
         self.queue: "queue.Queue[Request]" = queue.Queue()
         self._pending: collections.deque = collections.deque()
         self._prefill_job: Optional[_PrefillJob] = None
+        self._inflight: List[Any] = []  # dispatched, not-yet-read decode chunks
         self._finished: List[Request] = []
 
         del llm  # programs are module-level (shared across engines)
@@ -293,7 +295,11 @@ class Engine:
         self._admit()
         self._prefill_tick()
         self._decode_tick()
-        return self.active_count() + (1 if self._prefill_job else 0)
+        return (
+            self.active_count()
+            + (1 if self._prefill_job else 0)
+            + len(self._inflight)
+        )
 
     def run_until_idle(self, max_ticks: int = 100000) -> None:
         for _ in range(max_ticks):
@@ -347,15 +353,23 @@ class Engine:
                 jnp.asarray(pad_axis0(np.asarray(req.images), self.tile_buckets))
                 if req.images is not None else None
             )
-            sp = sl = None
+            sp = sl = sel = None
             if req.speech is not None:
-                sp = jnp.asarray(
-                    pad_axis0(np.asarray(req.speech), self.frame_buckets)
-                )[None]
-                sl = jnp.asarray([req.speech_length or req.speech.shape[0]], jnp.int32)
+                from vita_tpu.generate import stack_speech_clips
+                from vita_tpu.tokenization import audio_select_arrays
+
+                clips, lens, counts = stack_speech_clips(
+                    req.speech, req.speech_length, self.frame_buckets
+                )
+                sp, sl = jnp.asarray(clips), jnp.asarray(lens)
+                am_np = np.zeros(bucket, bool)
+                if req.audio_mask is not None:
+                    am_np[:s] = np.asarray(req.audio_mask, bool)
+                ci, ri = audio_select_arrays(am_np, counts)
+                sel = (jnp.asarray(ci)[None], jnp.asarray(ri)[None])
             embeds = _embed_media(
                 self.params, self.cfg, ids, padmask(req.image_mask),
-                padmask(req.audio_mask), img, sp, sl,
+                padmask(req.audio_mask), img, sp, sl, sel,
             )
 
         llm = self.cfg.llm
@@ -420,33 +434,78 @@ class Engine:
         self._emit(slot, req, tok0)
 
     def _decode_tick(self) -> None:
+        """Dispatch one decode chunk for the active slots (batch padded to
+        the next power-of-two 'active bucket', so a lone request never pays
+        an n_slots-wide MoE gather), then process the PREVIOUS chunk's
+        readback — one chunk stays in flight, hiding the host round-trip.
+
+        Speculation is safe: a chunk dispatched before a finish event lands
+        writes only to pages still owned (or about to be reinstalled by a
+        later-enqueued prefill), and its tokens are dropped for any slot
+        whose request changed by processing time."""
         active_idx = [i for i, r in enumerate(self.slot_req) if r is not None]
-        if not active_idx:
-            return
-        active = np.zeros(self.n_slots, bool)
-        active[active_idx] = True
-        self.cache["pos"] = jnp.asarray(self.pos)
-        new_cache, toks, self._tok_dev, self._key = decode_chunk(
-            self._decode_llm, self.cache, self._tok_dev,
-            jnp.asarray(self.pos), jnp.asarray(active),
-            jnp.asarray(self._temps), jnp.asarray(self._topk),
-            jnp.asarray(self._topp), self._key,
-            llm_cfg=self._decode_cfg, chunk_len=self.decode_chunk_len,
-        )
-        self.cache = new_cache
+        if active_idx:
+            nb = 1
+            while nb < len(active_idx):
+                nb *= 2
+            nb = min(nb, self.n_slots)
+            idx = np.asarray(
+                active_idx + [active_idx[0]] * (nb - len(active_idx)), np.int32
+            )
+            active = np.zeros(nb, bool)
+            active[: len(active_idx)] = True
+            mode = choose_sampling_mode(
+                self._temps[idx[active]], self._topk[idx[active]],
+                self._topp[idx[active]],
+            )
+            cache = {
+                "k_pages": self.cache["k_pages"],
+                "v_pages": self.cache["v_pages"],
+                "table": jnp.asarray(self._table_np[idx]),
+                "pos": jnp.asarray(self.pos[idx]),
+            }
+            new_cache, toks, tok_out, self._key = decode_chunk(
+                self._decode_llm, cache, self._tok_dev[jnp.asarray(idx)],
+                jnp.asarray(self.pos[idx]), jnp.asarray(active),
+                jnp.asarray(self._temps[idx]), jnp.asarray(self._topk[idx]),
+                jnp.asarray(self._topp[idx]), self._key,
+                llm_cfg=self._decode_cfg, chunk_len=self.decode_chunk_len,
+                sampling_mode=mode,
+            )
+            self.cache["k_pages"] = new_cache["k_pages"]
+            self.cache["v_pages"] = new_cache["v_pages"]
+            # enqueue the device->host copy NOW, before the next chunk is
+            # dispatched — on an ordered stream a later np.asarray would
+            # otherwise wait behind the next chunk's compute
+            try:
+                toks.copy_to_host_async()
+            except AttributeError:
+                pass
+            na = len(active_idx)
+            live = jnp.asarray(idx[:na])
+            self._tok_dev = self._tok_dev.at[live].set(tok_out[:na])
+            # speculative: the device advanced these slots chunk_len rows
+            self.pos[idx[:na]] += self.decode_chunk_len
+            self._inflight.append(
+                (toks, [(i, self.slot_req[i]) for i in active_idx])
+            )
+
+        # process the oldest chunk once a newer one is in flight (or when
+        # nothing new was dispatched — drain)
+        while len(self._inflight) > (1 if active_idx else 0):
+            self._process_chunk(*self._inflight.pop(0))
+
+    def _process_chunk(self, toks, slots) -> None:
         toks = np.asarray(toks)
-        for i in active_idx:
-            req = self.slot_req[i]
-            for j, t in enumerate(toks[i]):
-                if self._skip[i] > 0:
-                    self._skip[i] -= 1
-                    self.pos[i] += 1
+        for row, (slot, req) in enumerate(slots):
+            if self.slot_req[slot] is not req:
+                continue  # finished/cancelled while the chunk was in flight
+            for t in toks[row]:
+                if self._skip[slot] > 0:
+                    self._skip[slot] -= 1
                     continue
-                self.pos[i] += 1
-                if self._emit(i, req, int(t)):
+                if self._emit(slot, req, int(t)):
                     break
-            else:
-                continue
 
     # -- emission -----------------------------------------------------------
     def _emit(self, slot: int, req: Request, tok: int) -> bool:

@@ -161,3 +161,32 @@ def pad_to_bucket(
             padded = (list(ids) + pad) if side == "right" else (pad + list(ids))
             return padded, n
     raise ValueError(f"sequence length {n} exceeds largest bucket {max(buckets)}")
+
+
+def audio_select_arrays(
+    audio_mask: np.ndarray,  # [S] bool — expanded audio slot positions
+    audio_slot_counts: Sequence[int],  # LLM tokens per clip, in clip order
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(clip_idx [S], row_idx [S]) addressing per-clip audio features.
+
+    With several audio clips in one prompt (multi-turn audio history) each
+    clip's valid feature rows are a prefix of its padded block, so the
+    merge must know which clip and row every audio slot reads —
+    a flat cumsum over concatenated padded features would straddle padding
+    (see models/vita.py::merge_embeddings audio_select)."""
+    s = len(audio_mask)
+    clip = np.zeros(s, np.int32)
+    row = np.zeros(s, np.int32)
+    positions = np.flatnonzero(audio_mask)
+    if positions.size != sum(audio_slot_counts):
+        raise ValueError(
+            f"audio mask has {positions.size} slots but clips provide "
+            f"{sum(audio_slot_counts)}"
+        )
+    k = 0
+    for c, n in enumerate(audio_slot_counts):
+        for r in range(n):
+            clip[positions[k]] = c
+            row[positions[k]] = r
+            k += 1
+    return clip, row
