@@ -1,0 +1,213 @@
+"""Multi-turn history: merge rules (reference merge_current_and_history,
+web_interactive_demo.py:604-680), multi-clip audio fusion, and session
+replay through the serving app (VERDICT round-1 item 5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vita_tpu.constants import AUDIO_TOKEN_INDEX, IMAGE_TOKEN_INDEX
+from vita_tpu.conversation import TEMPLATES, Dialog
+from vita_tpu.models import vita
+from vita_tpu.serve.history import ChatSession, HistoryTurn, merge_current_and_history
+from vita_tpu.tokenization import (
+    audio_select_arrays,
+    audio_token_count,
+    expand_media_sentinels,
+    media_masks,
+    tokenize_multimodal,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = vita.VITAConfig.tiny()
+    params = vita.init_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def test_merge_empty_history_matches_dialog():
+    m = merge_current_and_history([], "hello")
+    want = Dialog(TEMPLATES["mixtral_two"]).user("hello").assistant().render("lang")
+    assert m.prompt == want and m.modality == "lang"
+
+
+def test_merge_replay_keeps_rounds_and_media():
+    img = np.zeros((1, 8, 8, 3), np.float32)
+    hist = [
+        HistoryTurn("<image>\nwhat is this?", "<3>a cat", images=img,
+                    image_slot_counts=(4,)),
+        HistoryTurn("and its color?", "<3>black"),
+    ]
+    m = merge_current_and_history(hist, "how many legs?")
+    # both rounds present, in order, under one system prompt
+    assert m.prompt.count("user:") == 3 and m.prompt.count("bot:") == 3
+    assert "a cat" in m.prompt and "black" in m.prompt
+    assert m.prompt.index("a cat") < m.prompt.index("black")
+    assert m.prompt.endswith("bot:")
+    # turn-1 image survives into the merged request (replay mode)
+    assert m.images is not None and m.images.shape[0] == 1
+    assert m.image_slot_counts == (4,)
+    assert m.modality == "video"  # interactive rule: any image -> video prompt
+
+
+def test_merge_skip_history_vision():
+    img = np.zeros((2, 8, 8, 3), np.float32)
+    hist = [HistoryTurn("<image>\nlook", "<3>ok", images=img, image_slot_counts=(8,))]
+    m = merge_current_and_history(hist, "and now?", skip_history_vision=True)
+    assert "<image>" not in m.prompt
+    assert m.images is None and m.image_slot_counts == ()
+    assert m.modality == "lang"
+
+
+def test_merge_image_tokens_to_front():
+    img = np.zeros((1, 8, 8, 3), np.float32)
+    hist = [HistoryTurn("a <image> b", "<3>r1", images=img, image_slot_counts=(4,))]
+    cur_img = np.ones((1, 8, 8, 3), np.float32)
+    m = merge_current_and_history(
+        hist, "c <image> d", images=cur_img, image_slot_counts=(4,),
+        image_tokens_to_front=True,
+    )
+    # both placeholders moved to the very start of the first user msg
+    first_user = m.prompt.split("user:")[1]
+    assert first_user.startswith("<image><image>")
+    assert m.prompt.count("<image>") == 2
+    # media order preserved: history image first
+    np.testing.assert_array_equal(m.images[0], img[0])
+    np.testing.assert_array_equal(m.images[1], cur_img[0])
+
+
+def test_merge_drops_noise_turns():
+    hist = [
+        HistoryTurn("<audio>", "<2>noise", speech=np.zeros((40, 80), np.float32),
+                    speech_length=40),
+        HistoryTurn("<audio>", "<1>real answer", speech=np.ones((40, 80), np.float32),
+                    speech_length=40),
+    ]
+    m = merge_current_and_history(hist, "next")
+    assert "noise" not in m.prompt and "real answer" in m.prompt
+    assert len(m.speeches) == 1  # the rejected turn's audio is gone
+
+
+def test_multiclip_audio_fusion_rows(tiny):
+    """With two clips, each audio slot reads ITS clip's feature row —
+    padding between clips never leaks in."""
+    cfg, params = tiny
+    clips = jnp.stack([
+        jax.random.normal(jax.random.PRNGKey(1), (60, 80)),
+        jax.random.normal(jax.random.PRNGKey(2), (60, 80)),
+    ])
+    lens = jnp.asarray([60, 28], jnp.int32)
+    counts = [audio_token_count(60), audio_token_count(28)]
+    n1, n2 = counts
+
+    ids = [1, 5] + [AUDIO_TOKEN_INDEX] * n1 + [7] + [AUDIO_TOKEN_INDEX] * n2 + [9]
+    safe, im, am = media_masks(np.array(ids))
+    ci, ri = audio_select_arrays(am, counts)
+
+    embeds = vita.fuse_embeddings(
+        params, cfg, jnp.asarray(safe)[None],
+        image_mask=jnp.asarray(im)[None], audio_mask=jnp.asarray(am)[None],
+        speech=clips, speech_lengths=lens,
+        audio_select=(jnp.asarray(ci)[None], jnp.asarray(ri)[None]),
+    )
+    feats, _ = vita.encode_audio(params, cfg, clips, lens)
+    pos = np.flatnonzero(am)
+    # clip 1 slots j -> feats[0, j]; clip 2 slots j -> feats[1, j]
+    for j in range(n1):
+        np.testing.assert_allclose(
+            np.asarray(embeds[0, pos[j]]), np.asarray(feats[0, j]), rtol=1e-5
+        )
+    for j in range(n2):
+        np.testing.assert_allclose(
+            np.asarray(embeds[0, pos[n1 + j]]), np.asarray(feats[1, j]), rtol=1e-5
+        )
+
+
+def test_generator_multiclip_matches_forward(tiny):
+    cfg, params = tiny
+    from vita_tpu.generate import GenerationConfig, Generator
+
+    c1 = np.asarray(jax.random.normal(jax.random.PRNGKey(3), (50, 80)))
+    c2 = np.asarray(jax.random.normal(jax.random.PRNGKey(4), (30, 80)))
+    n1, n2 = audio_token_count(50), audio_token_count(30)
+    ids = [1, 5] + [AUDIO_TOKEN_INDEX] * n1 + [7] + [AUDIO_TOKEN_INDEX] * n2
+    safe, im, am = media_masks(np.array(ids))
+
+    g = Generator(params, cfg, max_len=128, chunk_len=2,
+                  frame_buckets=(64,), prompt_buckets=(64,))
+    out = g.generate(safe, image_mask=im, audio_mask=am,
+                     speech=[c1, c2], speech_length=[50, 30],
+                     gen=GenerationConfig(max_new_tokens=3, eos_id=-1))
+
+    # manual forward with the same padded shapes
+    from vita_tpu.generate import stack_speech_clips
+
+    clips, lens, counts = stack_speech_clips([c1, c2], [50, 30], (64,))
+    pad = np.zeros(64, bool)
+    pad[: len(am)] = am
+    ci, ri = audio_select_arrays(pad, counts)
+    ids_p = np.zeros(64, np.int32)
+    ids_p[: len(safe)] = safe
+    im_p = np.zeros(64, bool)
+    im_p[: len(im)] = im
+    logits, _, _ = vita.forward(
+        params, cfg, jnp.asarray(ids_p)[None],
+        image_mask=jnp.asarray(im_p)[None], audio_mask=jnp.asarray(pad)[None],
+        speech=jnp.asarray(clips), speech_lengths=jnp.asarray(lens),
+        audio_select=(jnp.asarray(ci)[None], jnp.asarray(ri)[None]),
+        attn_valid=jnp.arange(64)[None] < len(safe),
+    )
+    want = int(jnp.argmax(logits[0, len(safe) - 1]))
+    assert out[0] == want
+
+
+def test_serving_app_session_replays_image(tiny):
+    """Image sent in turn 1 is still fused in turn 3 (replay mode)."""
+    import base64
+    import io
+
+    from PIL import Image
+
+    from vita_tpu.serve.engine import Engine
+    from vita_tpu.serve.http_server import ServingApp
+
+    cfg, params = tiny
+    eng = Engine(params, cfg, n_slots=1, max_len=2048, decode_chunk_len=2)
+    enc = lambda s: [1] + [3 + b for b in s.encode()]
+    dec = lambda ids: bytes(t - 3 for t in ids if 3 <= t < 259).decode(errors="ignore")
+    app = ServingApp(eng, cfg, enc, dec, bos_id=1, eos_id=2,
+                     image_size=cfg.vision.image_size)
+
+    buf = io.BytesIO()
+    Image.fromarray(np.full((32, 32, 3), 128, np.uint8)).save(buf, "PNG")
+    img_b64 = base64.b64encode(buf.getvalue()).decode()
+
+    r1, rec1 = app.build_request(
+        {"prompt": "what is this?", "image_b64": img_b64, "session_id": "s1"}
+    )
+    assert r1.images is not None
+    rec1("<3>a grey square")
+    r2, rec2 = app.build_request({"prompt": "sure?", "session_id": "s1"})
+    rec2("<3>yes")
+    r3, _ = app.build_request({"prompt": "describe it again", "session_id": "s1"})
+    # turn-1 image replayed into turn 3
+    assert r3.images is not None and r3.images.shape[0] == 1
+    assert int(np.sum(r3.image_mask)) == cfg.vision.out_tokens
+    # prior responses are in the prompt ids
+    text = dec([int(t) for t in r3.input_ids])
+    assert "a grey square" in text and "yes" in text
+    # and the request actually runs end-to-end (the app's engine thread
+    # is the only driver — stepping ourselves would race its donations)
+    import time
+
+    done = []
+    r3.on_finish = lambda toks, reason: done.append(reason)
+    eng.submit(r3)
+    for _ in range(600):
+        if done:
+            break
+        time.sleep(0.1)
+    assert done and len(r3.tokens) > 0
+    app.thread.stop()

@@ -48,12 +48,16 @@ class DuplexController:
         on_text: Optional[Callable[[str], None]] = None,
         on_tts: Optional[Callable[[str], None]] = None,
         config: DuplexConfig = DuplexConfig(),
+        on_turn: Optional[Callable[["Request", str], None]] = None,
     ):
         assert len(engines) == 2
         self.engines = engines
         self.decode = decode
         self.on_text = on_text or (lambda s: None)
         self.on_tts = on_tts or (lambda s: None)
+        # called with (request, raw response text incl. state token) when a
+        # promoted answer completes — the hook multi-turn history hangs off
+        self.on_turn = on_turn or (lambda r, t: None)
         self.cfg = config
 
         self.generator_idx = 0  # engine currently allowed to speak
@@ -156,6 +160,8 @@ class _StateTokenGate:
         if self.decided and reason != "cancelled" and self.tts_pending.strip():
             self.ctl.on_tts(self.tts_pending)
             self.tts_pending = ""
+        if self.decided and not self.req.cancelled and reason != "cancelled":
+            self.ctl.on_turn(self.req, self.ctl.decode(tokens))
 
 
 def _strip_state_tokens(text: str) -> str:

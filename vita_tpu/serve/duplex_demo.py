@@ -62,6 +62,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--max-len", type=int, default=1024)
     p.add_argument("--settle-s", type=float, default=8.0,
                    help="seconds to let a response stream before the next utterance")
+    p.add_argument("--history-limit", type=int, default=5,
+                   help="past turns kept as context for each new utterance")
     args = p.parse_args(argv)
 
     import jax
@@ -91,17 +93,39 @@ def main(argv: Optional[List[str]] = None) -> int:
     engines = [Engine(params, cfg, n_slots=2, max_len=args.max_len, seed=i)
                for i in range(2)]
 
+    # multi-turn context: each utterance carries the session's past audio
+    # turns, merged under the interactive demo's rules
+    # (web_interactive_demo.py:297-302 global_history usage)
+    from vita_tpu.serve.history import ChatSession, HistoryTurn
+
+    session = ChatSession(limit=args.history_limit)
+    turn_meta = {}  # request_id -> HistoryTurn (response filled on_turn)
+
     def make_query(segment: np.ndarray) -> Request:
         feats = fbank(segment)
-        n_aud = audio_token_count(len(feats))
-        prompt = Dialog(TEMPLATES["mixtral_two"]).user("<audio>").assistant().render("lang")
-        ids = tokenize_multimodal(prompt, encode, bos_id=bos_id)
-        expanded = expand_media_sentinels(ids, [], [n_aud])
+        merged = session.merge(
+            "<audio>", speech=feats, speech_length=len(feats),
+            skip_history_vision=True, image_tokens_to_front=True,
+        )
+        ids = tokenize_multimodal(merged.prompt, encode, bos_id=bos_id)
+        aud_counts = [audio_token_count(l) for l in merged.speech_lengths]
+        expanded = expand_media_sentinels(ids, [], aud_counts)
         safe, _, am = media_masks(np.array(expanded))
-        return Request(
-            input_ids=safe, audio_mask=am, speech=feats, speech_length=len(feats),
+        req = Request(
+            input_ids=safe, audio_mask=am,
+            speech=merged.speeches, speech_length=merged.speech_lengths,
             max_new_tokens=args.max_new_tokens, eos_id=eos_id,
         )
+        turn_meta[req.request_id] = HistoryTurn(
+            prompt="<audio>", response="", speech=feats, speech_length=len(feats)
+        )
+        return req
+
+    def on_turn(req: Request, text: str) -> None:
+        turn = turn_meta.pop(req.request_id, None)
+        if turn is not None:
+            turn.response = text
+            session.add(turn)
 
     # Warm both engines' compiled programs (audio embed + prefill chunks +
     # decode chunk) before the real-time session starts — compiles must not
@@ -125,7 +149,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     def on_tts(sentence: str) -> None:
         print(f"\n[tts] {sentence.strip()!r}")
 
-    ctl = DuplexController(engines, decode, on_text, on_tts)
+    ctl = DuplexController(engines, decode, on_text, on_tts, on_turn=on_turn)
 
     vad = StreamingVAD(VADConfig(min_dialog_s=1.5))
     if args.wav:

@@ -8,8 +8,14 @@ dependencies: a stdlib ThreadingHTTPServer exposing
   GET  /health      — {"status": "ok", "active": N}
   GET  /stats       — serving metrics (p50 TTFT, decode tok/s, queue depth)
   POST /v1/generate — {"prompt": str, "image_b64"?: str, "audio_b64"?: str,
-                       "max_tokens"?: int, "temperature"?: float}
+                       "session_id"?: str, "max_tokens"?: int,
+                       "temperature"?: float}
                       -> chunked text/plain token stream
+
+Passing a ``session_id`` turns on multi-turn chat: history replays under
+the interactive demo's merge rules (serve.history — skip history vision,
+image tokens to the front; web_interactive_demo.py:604-680), so an image
+sent in turn 1 stays referenced in later turns.
 
 Launch: python -m vita_tpu.serve.http_server --model tiny-random --port 8800
 """
@@ -36,9 +42,10 @@ _PAGE = """<!doctype html><title>VITA-TPU demo</title>
 <input id=q style="width:70%" placeholder="ask something">
 <input type=file id=img accept="image/*"><button onclick=send()>Send</button>
 <script>
+const sid = 'web-' + Math.random().toString(36).slice(2);
 async function send(){
  const q=document.getElementById('q').value;
- const body={prompt:q,max_tokens:128};
+ const body={prompt:q,max_tokens:128,session_id:sid};
  const f=document.getElementById('img').files[0];
  if(f){body.image_b64=await new Promise(r=>{const fr=new FileReader();
    fr.onload=()=>r(fr.result.split(',')[1]);fr.readAsDataURL(f);});}
@@ -54,7 +61,8 @@ async function send(){
 class ServingApp:
     """Holds the engine, tokenizer, and preprocessing for the handlers."""
 
-    def __init__(self, engine, cfg, encode, decode, bos_id, eos_id, image_size=448):
+    def __init__(self, engine, cfg, encode, decode, bos_id, eos_id, image_size=448,
+                 history_mode: str = "replay"):
         from vita_tpu.serve.engine import EngineThread
 
         self.engine = engine
@@ -62,12 +70,22 @@ class ServingApp:
         self.encode, self.decode = encode, decode
         self.bos_id, self.eos_id = bos_id, eos_id
         self.image_size = image_size
+        # 'replay' re-sends history media (web_ability_demo.py:132-243);
+        # 'interactive' drops history vision + fronts image tokens
+        # (web_interactive_demo.py merge_current_and_history call, :297-302)
+        if history_mode not in ("replay", "interactive"):
+            raise ValueError(f"bad history_mode {history_mode!r}")
+        self.history_mode = history_mode
+        self.sessions: dict = {}
+        self._sessions_lock = threading.Lock()
         self.thread = EngineThread(engine)
         self.thread.start()
 
     def build_request(self, payload: dict):
+        """Returns (Request, record_turn(response_text) or None)."""
         from vita_tpu.conversation import TEMPLATES, Dialog
         from vita_tpu.serve.engine import Request
+        from vita_tpu.serve.history import ChatSession, HistoryTurn
         from vita_tpu.tokenization import expand_media_sentinels, tokenize_multimodal
 
         prompt_text = payload.get("prompt", "")
@@ -79,18 +97,21 @@ class ServingApp:
         if payload.get("image_b64"):
             from PIL import Image
 
-            from vita_tpu.data.image import dynamic_tile, normalize
+            from vita_tpu.data.image import dynamic_tile, dynamic_tile_framecat, normalize
 
             raw = base64.b64decode(payload["image_b64"])
             arr = np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"))
-            if self.image_size < 448:  # tiny model: single resized tile
+            if self.cfg.vision_fusion == "framecat":
+                tiles = dynamic_tile_framecat(arr, 1, 12, self.image_size)
+            elif self.image_size < 448:  # tiny model: single resized tile
                 from PIL import Image as I
 
                 tiles = [np.asarray(I.fromarray(arr).resize((self.image_size,) * 2))]
             else:
                 tiles = dynamic_tile(arr, 1, 12, self.image_size, True)
             images = normalize(tiles)
-            img_counts = [len(tiles) * self.cfg.vision.out_tokens]
+            groups = len(tiles) // self.cfg.image_group_tiles
+            img_counts = [groups * self.cfg.vision.out_tokens]
             parts.append("<image>")
         if payload.get("audio_b64"):
             from vita_tpu.data.audio import fbank
@@ -102,22 +123,58 @@ class ServingApp:
             parts.append("<audio>")
         if prompt_text and not payload.get("audio_b64"):
             parts.append(prompt_text)
+        user_text = "\n".join(parts)
 
-        modality = "image" if images is not None else "lang"
-        d = Dialog(TEMPLATES["mixtral_two"]).user("\n".join(parts)).assistant()
-        ids = tokenize_multimodal(d.render(modality), self.encode, bos_id=self.bos_id)
+        session_id = payload.get("session_id")
+        record = None
+        if session_id:
+            with self._sessions_lock:
+                sess = self.sessions.setdefault(session_id, ChatSession())
+            interactive = self.history_mode == "interactive"
+            cur_images, cur_counts = images, tuple(img_counts)
+            merged = sess.merge(
+                user_text, images=images, image_slot_counts=tuple(img_counts),
+                speech=speech, speech_length=speech_len,
+                skip_history_vision=interactive,
+                image_tokens_to_front=interactive,
+            )
+            prompt = merged.prompt
+            images = merged.images
+            img_counts = list(merged.image_slot_counts)
+            speeches = merged.speeches
+            aud_counts = [audio_token_count(l) for l in merged.speech_lengths]
+            req_speech = speeches if speeches else None
+            req_speech_len = merged.speech_lengths
+
+            turn = HistoryTurn(
+                prompt=user_text, response="",
+                images=cur_images, image_slot_counts=cur_counts,
+                speech=speech, speech_length=speech_len,
+            )
+
+            def record(text, turn=turn, sess=sess):
+                turn.response = text
+                sess.add(turn)
+        else:
+            modality = "image" if images is not None else "lang"
+            prompt = Dialog(TEMPLATES["mixtral_two"]).user(user_text).assistant().render(modality)
+            req_speech = speech
+            req_speech_len = speech_len
+
+        ids = tokenize_multimodal(prompt, self.encode, bos_id=self.bos_id)
         expanded = expand_media_sentinels(ids, img_counts, aud_counts)
         safe, im, am = media_masks(np.array(expanded))
 
         return Request(
             input_ids=safe,
             image_mask=im if images is not None else None,
-            audio_mask=am if speech is not None else None,
-            images=images, speech=speech, speech_length=speech_len,
+            audio_mask=am if am.any() else None,
+            images=images, speech=req_speech,
+            speech_length=req_speech_len,
             max_new_tokens=int(payload.get("max_tokens", 256)),
             temperature=float(payload.get("temperature", 0.0)),
             eos_id=self.eos_id,
-        )
+        ), record
 
 
 def make_handler(app: ServingApp):
@@ -159,7 +216,7 @@ def make_handler(app: ServingApp):
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(n) or b"{}")
-                req = app.build_request(payload)
+                req, record = app.build_request(payload)
                 tok_q: "queue.Queue[Optional[int]]" = queue.Queue()
                 req.on_token = tok_q.put
                 req.on_finish = lambda toks, reason: tok_q.put(None)
@@ -193,6 +250,8 @@ def make_handler(app: ServingApp):
                         self.wfile.write(f"{len(chunk):x}\r\n".encode() + chunk + b"\r\n")
                         sent = text
                 self.wfile.write(b"0\r\n\r\n")
+                if record is not None:  # persist the turn for the session
+                    record(app.decode(toks).replace("</s>", ""))
             except (BrokenPipeError, ConnectionResetError):
                 req.cancel()  # client went away: free the slot
 
@@ -206,6 +265,11 @@ def main(argv=None) -> int:
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--slots", type=int, default=4)
     p.add_argument("--max-len", type=int, default=4096)
+    p.add_argument("--history-mode", default="replay",
+                   choices=["replay", "interactive"],
+                   help="multi-turn handling for session_id requests: replay "
+                        "re-sends history media; interactive drops history "
+                        "vision and fronts image tokens")
     args = p.parse_args(argv)
 
     import jax
@@ -233,7 +297,8 @@ def main(argv=None) -> int:
 
     engine = Engine(params, cfg, n_slots=args.slots, max_len=args.max_len)
     app = ServingApp(engine, cfg, encode, decode, bos_id, eos_id,
-                     image_size=cfg.vision.image_size)
+                     image_size=cfg.vision.image_size,
+                     history_mode=args.history_mode)
     server = ThreadingHTTPServer((args.host, args.port), make_handler(app))
     print(f"[serve] listening on http://{args.host}:{args.port}")
     try:
