@@ -9,7 +9,13 @@ from vita_tpu.generate import GenerationConfig, Generator
 from vita_tpu.models import vita
 from vita_tpu.serve.duplex import DuplexConfig, DuplexController
 from vita_tpu.serve.engine import Engine, Request
-from vita_tpu.serve.vad import CHUNK_SAMPLES, SAMPLE_RATE, StreamingVAD, VADConfig
+from vita_tpu.serve.vad import (
+    CHUNK_SAMPLES,
+    SAMPLE_RATE,
+    StreamingVAD,
+    VADConfig,
+    energy_vad_prob,
+)
 
 
 @pytest.fixture(scope="module")
@@ -178,7 +184,7 @@ def _speechlike(n_chunks, freq=180.0, level=0.25):
 
 
 def test_vad_segments_speech():
-    vad = StreamingVAD(VADConfig(min_dialog_s=0.5))
+    vad = StreamingVAD(VADConfig(min_dialog_s=0.5), prob_fn=energy_vad_prob)
     silence = np.zeros((8, CHUNK_SAMPLES), np.float32)
     speech = _speechlike(8)
     segs = []
@@ -191,7 +197,7 @@ def test_vad_segments_speech():
 
 
 def test_vad_drops_short_dialogs():
-    vad = StreamingVAD(VADConfig(min_dialog_s=5.0))
+    vad = StreamingVAD(VADConfig(min_dialog_s=5.0), prob_fn=energy_vad_prob)
     speech = _speechlike(4)  # ~1 s << 5 s minimum
     silence = np.zeros((8, CHUNK_SAMPLES), np.float32)
     segs = [vad.process(c) for c in [*speech, *silence]]
@@ -199,7 +205,7 @@ def test_vad_drops_short_dialogs():
 
 
 def test_vad_ignores_silence():
-    vad = StreamingVAD()
+    vad = StreamingVAD(prob_fn=energy_vad_prob)
     for c in np.zeros((20, CHUNK_SAMPLES), np.float32):
         assert vad.process(c) is None
     assert not vad.in_speech

@@ -1,0 +1,100 @@
+"""Training-step MoE path comparison on the real chip.
+
+Times fwd+bwd of a Mixtral train step at stage-3 token volume (batch 8 x
+seq 4096, reduced to 2 full-width layers — the 32L model needs the v5e-8
+slice) for the 'dense' and 'sort' MoE modes. 'capacity' is omitted by
+default: its [T, E, C] one-hot dispatch tensor at these shapes is ~10 GB
+per layer and OOMs a single chip — which is exactly why 'sort' exists.
+
+Prints one JSON line.
+"""
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--seq", type=int, default=4096)
+    p.add_argument("--layers", type=int, default=2)
+    p.add_argument("--modes", nargs="*", default=["dense", "sort"])
+    args = p.parse_args()
+
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vita_tpu.models import mixtral
+    from vita_tpu.parallel.distributed import enable_compile_cache
+
+    enable_compile_cache()
+
+    # vocab shrunk: the full 51760-row fp32 logits tensor alone is ~7 GB at
+    # this token volume and OOMs the single chip; expert cost is unchanged.
+    base = mixtral.MixtralConfig(
+        n_layers=args.layers, vocab_size=8192, dtype=jnp.bfloat16, remat=True,
+        attn_backend="flash",
+    )
+    params = mixtral.init_params(jax.random.PRNGKey(0), base)
+    ids = jax.random.randint(
+        jax.random.PRNGKey(1), (args.batch, args.seq), 0, base.vocab_size
+    )
+    labels = jnp.roll(ids, -1, axis=1)
+
+    t_tokens = args.batch * args.seq
+    # active expert FLOPs per mode (fwd), for a utilization readout
+    e_flops = 3 * 2 * base.d_model * base.d_ff  # per token per expert
+    results = {}
+    for mode in args.modes:
+        cfg = dataclasses.replace(base, moe_mode=mode)
+
+        def loss_fn(p):
+            logits, _, aux = mixtral.forward(p, cfg, input_ids=ids)
+            lse = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            ce = -jnp.take_along_axis(lse, labels[..., None], axis=-1).mean()
+            return ce + cfg.router_aux_loss_coef * aux
+
+        # return only a scalar: holding a full 5.6 GB grad tree across
+        # iterations would double-buffer grads and OOM the chip
+        @jax.jit
+        def step(p):
+            g = jax.grad(loss_fn)(p)
+            return sum(jnp.sum(jnp.square(x.astype(jnp.float32)))
+                       for x in jax.tree.leaves(g))
+
+        def run(n):
+            t0 = time.time()
+            s = None
+            for _ in range(n):
+                s = step(params)
+            _ = float(s)
+            return time.time() - t0
+
+        try:
+            run(1)  # compile
+            a, b = run(1), run(3)
+            per_step = (b - a) / 2
+            experts_used = base.n_experts if mode == "dense" else base.top_k
+            flops = 3 * t_tokens * experts_used * e_flops * args.layers  # fwd+bwd
+            results[f"{mode}_step_s"] = round(per_step, 3)
+            results[f"{mode}_moe_tflops"] = round(flops / per_step / 1e12, 1)
+        except Exception as e:  # OOM etc.
+            results[f"{mode}_error"] = str(e)[:120]
+
+    if "dense_step_s" in results and "sort_step_s" in results:
+        results["sort_speedup_vs_dense"] = round(
+            results["dense_step_s"] / results["sort_step_s"], 2
+        )
+    print(json.dumps({
+        "metric": "moe_train_step",
+        "batch": args.batch, "seq": args.seq, "layers": args.layers,
+        **results,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -151,6 +151,7 @@ def load_vita_checkpoint(path: str):
             ffn_dim=aud.get("intermediate_size", 4096),
             dtype=jnp.bfloat16,
         ),
+        vision_fusion=raw.get("vision_fusion", "patch"),
     )
     params = _load_hf_vita_weights(path, cfg)
     return cfg, params
@@ -170,6 +171,7 @@ def _config_from_json(raw: Dict[str, Any]):
         vision=build(internvit.InternViTConfig, raw["vision"]),
         audio=build(whale.WhaleConfig, raw["audio"]),
         vision_fusion=raw.get("vision_fusion", "patch"),
+        vision_projector=raw.get("vision_projector", "mlp2x_gelu"),
     )
 
 
@@ -185,6 +187,7 @@ def config_to_json(cfg) -> Dict[str, Any]:
         "vision": dump(cfg.vision),
         "audio": dump(cfg.audio),
         "vision_fusion": cfg.vision_fusion,
+        "vision_projector": cfg.vision_projector,
     }
 
 
@@ -237,3 +240,152 @@ def _load_hf_vita_weights(path: str, cfg):
     }
     to_dtype = lambda x: jnp.asarray(x, cfg.llm.dtype)
     return jax.tree.map(to_dtype, params)
+
+
+# ---------------------------------------------------------------------------
+# stage-chaining load paths (reference: vita/model/builder.py:14-306,
+# vita/model/vita_arch.py:63-108)
+# ---------------------------------------------------------------------------
+def load_adapter_into(params, adapter_path: str):
+    """Stage 2 consuming stage 1's adapter-only checkpoint
+    (--pretrain_mm_mlp_adapter, vita_arch.py:63-69): restore the subset
+    pytree saved by Trainer.save_trainable_only and overlay it onto a full
+    parameter tree (dtype-cast to the destination)."""
+    subset = load_checkpoint(adapter_path)
+    out = dict(params)
+    for key, sub in subset.items():
+        if key not in params:
+            raise KeyError(f"adapter checkpoint has unknown component {key!r}")
+        out[key] = jax.tree.map(
+            lambda dst, src: jnp.asarray(src, dst.dtype), params[key], sub
+        )
+        n = sum(x.size for x in jax.tree.leaves(sub))
+        print(f"[load] adapter overlay: {key} ({n/1e6:.2f}M params)")
+    return out
+
+
+def load_lora_vita_checkpoint(base_path: str, lora_path: str,
+                              rank: int = 8, alpha: float = 16.0,
+                              merge: bool = True):
+    """LoRA-ckpt + base load path (builder.py:100-175): load the base
+    checkpoint, then fold the trained adapters in (``merge=True``, the
+    builder's merge_and_unload) or return them separately for runtime
+    application."""
+    from vita_tpu.train.lora import LoRAConfig, merge_lora
+
+    cfg, params = load_vita_checkpoint(base_path)
+    lora = load_checkpoint(lora_path)
+    lcfg = LoRAConfig(rank=rank, alpha=alpha)
+    if merge:
+        return cfg, merge_lora(params, lora, lcfg)
+    return cfg, params, lora, lcfg
+
+
+def load_whale_torch_checkpoint(params, path: str, strict: bool = False):
+    """Init the audio encoder from a standalone torch ``final.pt``
+    (vita_arch.py:93-108): shape-checked partial merge at the state-dict
+    level — entries whose name+shape match our expected layout load,
+    everything else is reported and the current weights kept."""
+    import torch
+
+    from vita_tpu.utils.hf_import import _np, whale_params_from_hf, whale_params_to_hf
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "model" in sd and isinstance(sd["model"], dict):
+        sd = sd["model"]
+
+    audio = params["audio"]
+    n_layers = jax.tree.leaves(audio["layers"])[0].shape[0]
+    expected = whale_params_to_hf(audio, n_layers)  # current values, HF names
+    merged_state, loaded, skipped = {}, 0, []
+    for k, ref in expected.items():
+        v = sd.get(k)
+        if v is not None and tuple(_np(v).shape) == tuple(ref.shape):
+            merged_state[k] = v
+            loaded += 1
+        else:
+            skipped.append(k)
+            merged_state[k] = ref
+    unknown = [k for k in sd if k not in expected]
+    if skipped or unknown:
+        msg = (f"[load] whale final.pt: {loaded} loaded, "
+               f"{len(skipped)} kept (first: {skipped[:3]}), "
+               f"{len(unknown)} unknown keys ignored")
+        if strict:
+            raise ValueError(msg)
+        print(msg)
+
+    candidate = whale_params_from_hf(
+        merged_state, n_layers,
+        cmvn_mean=np.asarray(audio["cmvn"]["mean"], np.float32),
+        cmvn_istd=np.asarray(audio["cmvn"]["istd"], np.float32),
+    )
+    out = dict(params)
+    out["audio"] = jax.tree.map(
+        lambda dst, src: jnp.asarray(src, dst.dtype), audio, candidate
+    )
+    return out
+
+
+def export_hf_vita_checkpoint(path: str, cfg, params) -> None:
+    """Full-stack export to the deployed HF layout (composite config +
+    safetensors + feature-extractor CMVN) — the reverse of
+    load_vita_checkpoint's HF branch, so weights round-trip to torch
+    tooling (remap spec: vllm_file/mixtral.py:1189-1329)."""
+    from safetensors.numpy import save_file
+
+    from vita_tpu.utils.hf_import import vita_params_to_hf
+
+    os.makedirs(path, exist_ok=True)
+    state = vita_params_to_hf(params, cfg)
+    # safetensors writes the raw buffer: transposed VIEWS serialize garbage
+    state = {k: np.ascontiguousarray(v) for k, v in state.items()}
+    save_file(state, os.path.join(path, "model.safetensors"))
+
+    conf = {
+        "architectures": ["MixtralForConditionalGeneration"],
+        "model_type": "mixtral-multimodal",
+        "vision_fusion": cfg.vision_fusion,
+        "image_token_index": 51000,
+        "audio_token_index": 51001,
+        "text_config": {
+            "vocab_size": cfg.llm.vocab_size,
+            "hidden_size": cfg.llm.d_model,
+            "num_hidden_layers": cfg.llm.n_layers,
+            "num_attention_heads": cfg.llm.n_heads,
+            "num_key_value_heads": cfg.llm.n_kv_heads,
+            "intermediate_size": cfg.llm.d_ff,
+            "num_local_experts": cfg.llm.n_experts,
+            "num_experts_per_tok": cfg.llm.top_k,
+            "rope_theta": cfg.llm.rope_theta,
+            "rms_norm_eps": cfg.llm.rms_eps,
+        },
+        "vision_config": {
+            "image_size": cfg.vision.image_size,
+            "patch_size": cfg.vision.patch_size,
+            "hidden_size": cfg.vision.hidden,
+            "num_hidden_layers": cfg.vision.n_layers,
+            "num_attention_heads": cfg.vision.n_heads,
+            "intermediate_size": cfg.vision.mlp_dim,
+        },
+        "audio_config": {
+            "input_dim": cfg.audio.input_dim,
+            "hidden_size": cfg.audio.hidden,
+            "num_hidden_layers": cfg.audio.n_layers,
+            "num_attention_heads": cfg.audio.n_heads,
+            "intermediate_size": cfg.audio.ffn_dim,
+        },
+    }
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(conf, f, indent=1)
+
+    fe_dir = os.path.join(path, "feature_extractor")
+    os.makedirs(fe_dir, exist_ok=True)
+    cmvn = params["audio"]["cmvn"]
+    with open(os.path.join(fe_dir, "preprocessor_config.json"), "w") as f:
+        json.dump({
+            "feature_extractor_type": "WhaleFeatureExtractor",
+            "feature_size": 80, "sampling_rate": 16000,
+            "cmvn_means": np.asarray(cmvn["mean"], np.float32).tolist(),
+            "cmvn_istds": np.asarray(cmvn["istd"], np.float32).tolist(),
+        }, f)

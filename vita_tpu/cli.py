@@ -162,7 +162,7 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     prompt = build_prompt(args.question, modality, has_audio)
     ids = tokenize_multimodal(prompt, encode, bos_id=bos_id)
-    img_counts = [n_groups * cfg.vision.out_tokens] if images is not None else []
+    img_counts = [n_groups * cfg.image_tokens_per_group] if images is not None else []
     aud_counts = [audio_token_count(speech_len)] if has_audio else []
     expanded = expand_media_sentinels(ids, img_counts, aud_counts)
     safe, im, am = media_masks(np.array(expanded))

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -147,7 +147,7 @@ class Generator:
         # read only the selected experts via the Pallas kernels.
         if decode_moe_mode is None:
             decode_moe_mode = cfg.llm.moe_mode
-        if decode_moe_mode not in ("dense", "capacity", "gather", "gather_q"):
+        if decode_moe_mode not in ("dense", "capacity", "sort", "gather", "gather_q"):
             raise ValueError(f"bad decode_moe_mode {decode_moe_mode!r}")
         self._decode_cfg = dataclasses.replace(cfg.llm, moe_mode=decode_moe_mode)
         if decode_moe_mode == "gather_q":

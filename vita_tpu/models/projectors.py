@@ -90,3 +90,172 @@ def audio_projector(
     x = jax.nn.gelu(x, approximate=False)
     x = x @ params["proj_w"] + params["proj_b"]
     return x, valid[:, 0::2]
+
+
+# ---------------------------------------------------------------------------
+# vision projector variants (reference multimodal_projector/builder.py:24-185)
+# ---------------------------------------------------------------------------
+PROJECTOR_KINDS = (
+    "linear", "mlp2x_gelu", "mlp3x_gelu", "spp_v1", "spp_v2", "spp_v3",
+    "vanilla", "minigpt", "ldp", "identity",
+)
+
+
+def projector_token_reduction(kind: str) -> int:
+    """Tokens-per-group divisor: SPP/LDP pool the 2D token grid 2x2;
+    vanilla/minigpt merge 4 consecutive tokens (builder.py:24-72,114-151)."""
+    return 4 if kind.startswith(("spp", "vanilla", "minigpt", "ldp")) else 1
+
+
+def _hard_sigmoid(x):
+    return jnp.clip(x + 3.0, 0.0, 6.0) / 6.0
+
+
+def _hard_swish(x):
+    return x * _hard_sigmoid(x)
+
+
+def _init_linear(rng, din, dout, dtype):
+    return {
+        "w": jax.random.normal(rng, (din, dout), dtype) * din**-0.5,
+        "b": jnp.zeros((dout,), dtype),
+    }
+
+
+def _init_ldp_block(rng, c, stride, dtype):
+    ks = jax.random.split(rng, 4)
+    sq = max(c // 4, 8)
+    del stride  # structure is identical for both strides
+    return {
+        "dw_w": jax.random.normal(ks[0], (3, 3, 1, c), dtype) * (9**-0.5),
+        "ln1_w": jnp.ones((c,), dtype), "ln1_b": jnp.zeros((c,), dtype),
+        "se_fc1": _init_linear(ks[1], c, sq, dtype),
+        "se_fc2": _init_linear(ks[2], sq, c, dtype),
+        "pw_w": jax.random.normal(ks[3], (c, c), dtype) * c**-0.5,
+        "ln2_w": jnp.ones((c,), dtype), "ln2_b": jnp.zeros((c,), dtype),
+    }
+
+
+def _ldp_block(p, x, stride):
+    """MobileNetV3 InvertedResidual with expand==channels (no expand conv):
+    depthwise 3x3 -> LayerNorm2d -> hardswish -> SE(hardsigmoid) -> 1x1
+    project -> LayerNorm2d; residual at stride 1 (builder.py:75-102)."""
+    b, h, w, c = x.shape
+    y = jax.lax.conv_general_dilated(
+        x, p["dw_w"], (stride, stride), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+    )
+    y = layer_norm(y, p["ln1_w"], p["ln1_b"])
+    y = _hard_swish(y)
+    s = jnp.mean(y, axis=(1, 2))  # squeeze [B, C]
+    s = jax.nn.relu(s @ p["se_fc1"]["w"] + p["se_fc1"]["b"])
+    s = _hard_sigmoid(s @ p["se_fc2"]["w"] + p["se_fc2"]["b"])
+    y = y * s[:, None, None, :]
+    y = y @ p["pw_w"]
+    y = layer_norm(y, p["ln2_w"], p["ln2_b"])
+    if stride == 1:
+        y = y + x
+    return y
+
+
+def init_vision_projector_kind(
+    rng, in_dim: int, llm_dim: int, kind: str = "mlp2x_gelu", dtype=jnp.float32
+) -> Params:
+    """Parameters for any registered projector variant. 'mlp2x_gelu' keeps
+    the round-1 layout (init_vision_projector) for checkpoint compat."""
+    ks = jax.random.split(rng, 8)
+    if kind == "mlp2x_gelu":
+        return init_vision_projector(rng, in_dim, llm_dim, dtype)
+    if kind == "identity":
+        return {}
+    if kind == "linear":
+        return {"lin": _init_linear(ks[0], in_dim, llm_dim, dtype)}
+    if kind == "mlp3x_gelu":
+        return {
+            "fc1": _init_linear(ks[0], in_dim, llm_dim, dtype),
+            "fc2": _init_linear(ks[1], llm_dim, llm_dim, dtype),
+            "fc3": _init_linear(ks[2], llm_dim, llm_dim, dtype),
+        }
+    if kind.startswith("spp"):
+        # all three linears exist regardless of sub-type (builder.py:117-127)
+        return {
+            "linear_0": _init_linear(ks[0], in_dim, in_dim, dtype),
+            "linear_1": _init_linear(ks[1], in_dim, llm_dim, dtype),
+            "linear_2": _init_linear(ks[2], llm_dim, llm_dim, dtype),
+        }
+    if kind in ("vanilla", "minigpt"):
+        return {"lin": _init_linear(ks[0], in_dim * 4, llm_dim, dtype)}
+    if kind == "ldp":
+        return {
+            "fc1": _init_linear(ks[0], in_dim, llm_dim, dtype),
+            "fc2": _init_linear(ks[1], llm_dim, llm_dim, dtype),
+            "block1": _init_ldp_block(ks[2], llm_dim, 1, dtype),
+            "block2": _init_ldp_block(ks[3], llm_dim, 2, dtype),
+        }
+    raise ValueError(f"unknown projector kind {kind!r} (known: {PROJECTOR_KINDS})")
+
+
+def _to_grid(x):
+    b, n, c = x.shape
+    h = int(round(n**0.5))
+    if h * h != n:
+        raise ValueError(f"projector needs a square token grid, got {n}")
+    return x.reshape(b, h, h, c), h
+
+
+def _avg_pool2(x):  # [B, H, W, C] -> [B, H/2, W/2, C]
+    b, h, w, c = x.shape
+    return x.reshape(b, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
+
+
+def apply_vision_projector(
+    params: Params, feats: jnp.ndarray, kind: str = "mlp2x_gelu"
+) -> jnp.ndarray:
+    """feats [B_groups, T, C] -> [B_groups, T/reduction, llm_dim]."""
+    lin = lambda p, x: x @ p["w"] + p["b"]
+    if kind == "mlp2x_gelu":
+        return vision_projector(params, feats)
+    if kind == "identity":
+        return feats
+    if kind == "linear":
+        return lin(params["lin"], feats)
+    if kind == "mlp3x_gelu":
+        h = jax.nn.gelu(lin(params["fc1"], feats), approximate=False)
+        h = jax.nn.gelu(lin(params["fc2"], h), approximate=False)
+        return lin(params["fc3"], h)
+    if kind.startswith("spp"):
+        v = kind[-2:]
+        if v == "v1":
+            x = lin(params["linear_1"], feats)
+            g, _ = _to_grid(x)
+            x = _avg_pool2(g).reshape(x.shape[0], -1, x.shape[-1])
+            return lin(params["linear_2"], x)
+        if v == "v2":
+            x = lin(params["linear_2"], lin(params["linear_1"], feats))
+            g, _ = _to_grid(x)
+            return _avg_pool2(g).reshape(x.shape[0], -1, x.shape[-1])
+        if v == "v3":
+            x = lin(params["linear_0"], feats)
+            g, _ = _to_grid(x)
+            x = _avg_pool2(g).reshape(x.shape[0], -1, x.shape[-1])
+            return lin(params["linear_2"], lin(params["linear_1"], x))
+        raise ValueError(f"unknown spp variant {kind!r}")
+    if kind == "minigpt":
+        b, n, c = feats.shape
+        if n % 4:
+            raise ValueError("minigpt merges 4-token groups; tokens % 4 != 0")
+        return lin(params["lin"], feats.reshape(b, n // 4, 4 * c))
+    if kind == "vanilla":
+        b, n, c = feats.shape
+        if n % 4:
+            raise ValueError("vanilla merges 4-token groups; tokens % 4 != 0")
+        x = feats.reshape(b, n // 4, 4, c).transpose(0, 1, 3, 2)
+        return lin(params["lin"], x.reshape(b, n // 4, 4 * c))
+    if kind == "ldp":
+        h = jax.nn.gelu(lin(params["fc1"], feats), approximate=False)
+        h = lin(params["fc2"], h)
+        g, side = _to_grid(h)
+        g = _ldp_block(params["block1"], g, 1)
+        g = _ldp_block(params["block2"], g, 2)
+        return g.reshape(g.shape[0], -1, g.shape[-1])
+    raise ValueError(f"unknown projector kind {kind!r}")

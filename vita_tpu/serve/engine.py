@@ -196,7 +196,7 @@ class Engine:
         # 'gather_q' additionally keeps an int8 expert copy (2x less HBM).
         if decode_moe_mode is None:
             decode_moe_mode = cfg.llm.moe_mode
-        if decode_moe_mode not in ("dense", "capacity", "gather", "gather_q"):
+        if decode_moe_mode not in ("dense", "capacity", "sort", "gather", "gather_q"):
             raise ValueError(f"bad decode_moe_mode {decode_moe_mode!r}")
         self._decode_cfg = dataclasses.replace(cfg.llm, moe_mode=decode_moe_mode)
         if decode_moe_mode == "gather_q":

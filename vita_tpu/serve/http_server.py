@@ -111,7 +111,7 @@ class ServingApp:
                 tiles = dynamic_tile(arr, 1, 12, self.image_size, True)
             images = normalize(tiles)
             groups = len(tiles) // self.cfg.image_group_tiles
-            img_counts = [groups * self.cfg.vision.out_tokens]
+            img_counts = [groups * self.cfg.image_tokens_per_group]
             parts.append("<image>")
         if payload.get("audio_b64"):
             from vita_tpu.data.audio import fbank

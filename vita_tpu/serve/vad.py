@@ -8,14 +8,16 @@ the emitted segment includes ``pad_ms`` of leading context; dialogs
 shorter than ``min_dialog_s`` are dropped by the caller
 (web_interactive_demo.py:827-829).
 
-The probability function is pluggable: default is a normalized
-energy+spectral-flatness detector (host CPU, dependency-free); a silero
-ONNX session can be dropped in via ``prob_fn``.
+The probability function is pluggable: the default is the trained MLP
+model (serve.vad_model, silero's role in the reference) when its
+checked-in weights are present, else a normalized energy+spectral-flatness
+detector; a silero ONNX session can also be dropped in via ``prob_fn``.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Callable, List, Optional
 
 import numpy as np
@@ -39,6 +41,16 @@ def energy_vad_prob(chunk: np.ndarray, noise_floor: float = 3e-4) -> float:
     return level * concentration
 
 
+def default_prob_fn() -> Callable[[np.ndarray], float]:
+    """Trained MLP model when its weights ship with the package (the
+    silero-equivalent, serve.vad_model), else the energy heuristic."""
+    from vita_tpu.serve import vad_model
+
+    if os.path.exists(vad_model.WEIGHTS_PATH):
+        return vad_model.load_trained_vad()
+    return energy_vad_prob
+
+
 @dataclasses.dataclass
 class VADConfig:
     threshold_start: float = 0.7
@@ -54,9 +66,11 @@ class StreamingVAD:
     def __init__(
         self,
         config: VADConfig = VADConfig(),
-        prob_fn: Callable[[np.ndarray], float] = energy_vad_prob,
+        prob_fn: Optional[Callable[[np.ndarray], float]] = None,
     ):
         self.cfg = config
+        if prob_fn is None:
+            prob_fn = default_prob_fn()
         self.prob_fn = prob_fn
         self.reset()
 

@@ -37,6 +37,20 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--mesh", type=int, nargs=4, default=None,
                    help="mesh shape: data fsdp expert model")
+    # stage chaining (reference: --pretrain_mm_mlp_adapter finetune.sh:16 /
+    # vita_arch.py:63-69; whale final.pt init vita_arch.py:93-108; LoRA+base
+    # builder.py:100-175)
+    p.add_argument("--pretrain-mm-adapter", default=None,
+                   help="adapter-only checkpoint from a previous stage "
+                        "(Trainer.save_trainable_only output) to overlay")
+    p.add_argument("--whale-init", default=None,
+                   help="standalone audio-encoder final.pt (torch) to "
+                        "shape-check-merge into the audio tower")
+    p.add_argument("--lora-from", default=None,
+                   help="LoRA adapter checkpoint dir to merge into the base "
+                        "before training")
+    p.add_argument("--lora-rank", type=int, default=8)
+    p.add_argument("--lora-alpha", type=float, default=16.0)
     args = p.parse_args(argv)
 
     import jax
@@ -64,6 +78,23 @@ def main(argv: Optional[List[str]] = None) -> int:
         encode = lambda s: hf_tok(s).input_ids
         bos_id, eos_id = hf_tok.bos_token_id, hf_tok.eos_token_id
         pad_id = hf_tok.pad_token_id
+
+    if args.pretrain_mm_adapter:
+        from vita_tpu.checkpoint import load_adapter_into
+
+        params = load_adapter_into(params, args.pretrain_mm_adapter)
+    if args.whale_init:
+        from vita_tpu.checkpoint import load_whale_torch_checkpoint
+
+        params = load_whale_torch_checkpoint(params, args.whale_init)
+    if args.lora_from:
+        from vita_tpu.checkpoint import load_checkpoint
+        from vita_tpu.train.lora import LoRAConfig, merge_lora
+
+        lora = load_checkpoint(args.lora_from)
+        params = merge_lora(
+            params, lora, LoRAConfig(rank=args.lora_rank, alpha=args.lora_alpha)
+        )
 
     stage = {
         "pretrain_mlp": TrainConfig.stage1_pretrain_mlp,

@@ -324,3 +324,115 @@ def mixtral_params_to_hf(params, cfg, prefix: str = "model.") -> Dict[str, np.nd
         out[L + "input_layernorm.weight"] = g(lp["ln_attn"])
         out[L + "post_attention_layernorm.weight"] = g(lp["ln_moe"])
     return out
+
+
+# ---------------------------------------------------------------------------
+# export (inverse mappings): full-stack HF interop
+# ---------------------------------------------------------------------------
+def _unstack(arr, l, transpose=True):
+    m = np.asarray(arr[l], np.float32)
+    return m.T if transpose else m
+
+
+def internvit_params_to_hf(params, n_layers: int) -> Dict[str, np.ndarray]:
+    """Inverse of internvit_params_from_hf (modeling_intern_vit.py names)."""
+    g = lambda x: np.asarray(x, np.float32)
+    pw = g(params["patch_embed"]["w"]).T  # [D, p*p*3]
+    d = pw.shape[0]
+    side = int(round((pw.shape[1] // 3) ** 0.5))
+    out = {
+        "embeddings.patch_embedding.weight": pw.reshape(d, 3, side, side),
+        "embeddings.patch_embedding.bias": g(params["patch_embed"]["b"]),
+        "embeddings.class_embedding": g(params["cls"]),
+        "embeddings.position_embedding": g(params["pos_embed"]),
+    }
+    lay = params["layers"]
+    names = [
+        ("attn.qkv.weight", "qkv_w", True), ("attn.qkv.bias", "qkv_b", False),
+        ("attn.proj.weight", "proj_w", True), ("attn.proj.bias", "proj_b", False),
+        ("mlp.fc1.weight", "fc1_w", True), ("mlp.fc1.bias", "fc1_b", False),
+        ("mlp.fc2.weight", "fc2_w", True), ("mlp.fc2.bias", "fc2_b", False),
+        ("norm1.weight", "norm1_w", False), ("norm1.bias", "norm1_b", False),
+        ("norm2.weight", "norm2_w", False), ("norm2.bias", "norm2_b", False),
+        ("ls1", "ls1", False), ("ls2", "ls2", False),
+    ]
+    for l in range(n_layers):
+        for hf, ours, tr in names:
+            out[f"encoder.layers.{l}.{hf}"] = _unstack(lay[ours], l, tr)
+    return out
+
+
+def whale_params_to_hf(params, n_layers: int) -> Dict[str, np.ndarray]:
+    """Inverse of whale_params_from_hf (modeling_whale.py names). CMVN is
+    NOT part of the HF state dict (it ships in the feature extractor)."""
+    g = lambda x: np.asarray(x, np.float32)
+    out = {
+        "subsampling.conv_in.0.weight": g(params["sub"]["conv1_w"]).transpose(3, 2, 0, 1),
+        "subsampling.conv_in.0.bias": g(params["sub"]["conv1_b"]),
+        "subsampling.conv_in.2.weight": g(params["sub"]["conv2_w"]).transpose(3, 2, 0, 1),
+        "subsampling.conv_in.2.bias": g(params["sub"]["conv2_b"]),
+        "subsampling.out.weight": g(params["sub"]["out_w"]).T,
+        "subsampling.out.bias": g(params["sub"]["out_b"]),
+        "embeddings.embedding.0.weight": g(params["embed"]["w"]).T,
+        "embeddings.embedding.0.bias": g(params["embed"]["b"]),
+        "embeddings.embedding.1.weight": g(params["embed"]["ln_w"]),
+        "embeddings.embedding.1.bias": g(params["embed"]["ln_b"]),
+        "encoder.layer_norm.weight": g(params["ln_final"]["w"]),
+        "encoder.layer_norm.bias": g(params["ln_final"]["b"]),
+    }
+    lay = params["layers"]
+    names = [
+        ("attn.linear_q.weight", "q_w", True), ("attn.linear_q.bias", "q_b", False),
+        ("attn.linear_k.weight", "k_w", True), ("attn.linear_k.bias", "k_b", False),
+        ("attn.linear_v.weight", "v_w", True), ("attn.linear_v.bias", "v_b", False),
+        ("attn.linear_out.weight", "out_w", True), ("attn.linear_out.bias", "out_b", False),
+        ("attn.linear_pos.weight", "pos_w", True),
+        ("attn.pos_bias_u", "pos_bias_u", False),
+        ("attn.pos_bias_v", "pos_bias_v", False),
+        ("feed_forward.w_1.weight", "ffn1_w", True),
+        ("feed_forward.w_1.bias", "ffn1_b", False),
+        ("feed_forward.w_2.weight", "ffn2_w", True),
+        ("feed_forward.w_2.bias", "ffn2_b", False),
+        ("norm1.weight", "norm1_w", False), ("norm1.bias", "norm1_b", False),
+        ("norm2.weight", "norm2_w", False), ("norm2.bias", "norm2_b", False),
+    ]
+    for l in range(n_layers):
+        for hf, ours, tr in names:
+            out[f"encoder.layers.{l}.{hf}"] = _unstack(lay[ours], l, tr)
+    return out
+
+
+def vision_projector_to_hf(params) -> Dict[str, np.ndarray]:
+    g = lambda x: np.asarray(x, np.float32)
+    return {
+        "linear_1.weight": g(params["fc1_w"]).T, "linear_1.bias": g(params["fc1_b"]),
+        "linear_2.weight": g(params["fc2_w"]).T, "linear_2.bias": g(params["fc2_b"]),
+    }
+
+
+def audio_projector_to_hf(params) -> Dict[str, np.ndarray]:
+    g = lambda x: np.asarray(x, np.float32)
+    return {
+        "conv1d.weight": g(params["conv_w"]).transpose(2, 1, 0),
+        "conv1d.bias": g(params["conv_b"]),
+        "norm.weight": g(params["ln_w"]), "norm.bias": g(params["ln_b"]),
+        "linear.weight": g(params["proj_w"]).T, "linear.bias": g(params["proj_b"]),
+    }
+
+
+def vita_params_to_hf(params, cfg) -> Dict[str, np.ndarray]:
+    """Full-stack export to the deployed HF layout (the reverse of
+    checkpoint._load_hf_vita_weights; remap spec per the reference's
+    tables at web_demo/vllm_tools/vllm_file/mixtral.py:1189-1329)."""
+    out: Dict[str, np.ndarray] = {}
+    for k, v in mixtral_params_to_hf(params["llm"], cfg.llm, prefix="model.").items():
+        out["language_model." + k] = v
+    for k, v in internvit_params_to_hf(params["vision"], cfg.vision.n_layers).items():
+        out["vision_tower." + k] = v
+    for k, v in vision_projector_to_hf(params["vision_proj"]).items():
+        out["vision_projector." + k] = v
+    for k, v in whale_params_to_hf(params["audio"], cfg.audio.n_layers).items():
+        out["audio_model." + k] = v
+    for k, v in audio_projector_to_hf(params["audio_proj"]).items():
+        out["audio_projector." + k] = v
+    return out
