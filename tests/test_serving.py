@@ -211,7 +211,7 @@ def test_vad_ignores_silence():
     assert not vad.in_speech
 
 
-@pytest.mark.parametrize("mode", ["gather", "gather_q"])
+@pytest.mark.parametrize("mode", ["gather", "gather_q", "gather_q4"])
 def test_engine_quantized_decode_modes(tiny, mode):
     """Engine with Pallas decode modes: gather matches dense exactly;
     gather_q (int8) produces valid tokens."""
@@ -232,7 +232,7 @@ def test_engine_quantized_decode_modes(tiny, mode):
     if mode == "gather":
         assert r1.tokens == r0.tokens
     else:
-        assert len(r1.tokens) == 5  # int8: tokens may differ, must be valid
+        assert len(r1.tokens) == 5  # int8/int4: tokens may differ, must be valid
         assert all(0 <= t < cfg.llm.vocab_size for t in r1.tokens)
 
 

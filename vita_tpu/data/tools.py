@@ -13,6 +13,14 @@ concat_data_* variants) into one CLI:
                  frameCat), budget violations vs --max-length
   concat       — merge short conversations into longer multi-round samples
                  under a token budget (concat_data_* semantics)
+  remove-lost  — write a cleaned JSON with samples whose media files are
+                 missing dropped (rm_lost_{image,video,audio}_in_json.py)
+  fix-json     — repair common annotation defects in place: drop samples
+                 with broken conversations, strip empty turns, normalize
+                 role tags (check_json.py's issues, but fixing)
+  data-stats   — per-file sample/modality counts + audio duration totals
+                 (statistics_data_num.py / statistics_audio_duration.py /
+                 statistics_image_num.py)
 """
 
 from __future__ import annotations
@@ -178,6 +186,125 @@ def cmd_concat(args) -> int:
     return 0
 
 
+def _media_files(sample, folder, media_root):
+    """Yield (key, full_path) for every media reference in a sample."""
+    for key in ("image", "video", "audio"):
+        if key not in sample:
+            continue
+        files = sample[key] if isinstance(sample[key], list) else [sample[key]]
+        sets = sample.get("set")
+        sets = sets if isinstance(sets, list) else [sets] * len(files)
+        for f_, set_id in zip(files, sets):
+            base = folder.get(set_id, media_root or "")
+            yield key, (os.path.join(base, f_) if base else f_)
+
+
+def cmd_remove_lost(args) -> int:
+    """rm_lost_*_in_json.py: drop samples referencing missing media files
+    and write the cleaned list."""
+    folder = {}
+    if args.folder_map:
+        with open(args.folder_map) as f:
+            folder = json.load(f)
+    kept, dropped = [], 0
+    for path in args.data:
+        for sample in _load(path):
+            ok = all(
+                os.path.exists(full)
+                for _, full in _media_files(sample, folder, args.media_root)
+            )
+            if ok:
+                kept.append(sample)
+            else:
+                dropped += 1
+    with open(args.output, "w") as f:
+        json.dump(kept, f, ensure_ascii=False)
+    print(f"remove-lost: kept {len(kept)}, dropped {dropped} -> {args.output}")
+    return 0
+
+
+def cmd_fix_json(args) -> int:
+    """Repair annotation defects the checkers flag: normalize role tags,
+    drop empty turns, drop samples that do not start with a human turn or
+    whose roles do not alternate after repair."""
+    role_map = {"user": "human", "human": "human", "assistant": "gpt",
+                "gpt": "gpt", "bot": "gpt"}
+    kept, dropped, repaired = [], 0, 0
+    for path in args.data:
+        for sample in _load(path):
+            conv = sample.get("conversations")
+            if not isinstance(conv, list) or not conv:
+                dropped += 1
+                continue
+            fixed, changed = [], False
+            for t in conv:
+                if not isinstance(t, dict):
+                    changed = True
+                    continue
+                role = role_map.get(str(t.get("from", "")).lower())
+                text = t.get("value")
+                if role is None or not isinstance(text, str) or not text.strip():
+                    changed = True
+                    continue
+                if role != t.get("from"):
+                    changed = True
+                fixed.append({**t, "from": role, "value": text})
+            ok = (
+                fixed
+                and fixed[0]["from"] == "human"
+                and all(
+                    fixed[i]["from"] != fixed[i + 1]["from"]
+                    for i in range(len(fixed) - 1)
+                )
+            )
+            if not ok:
+                dropped += 1
+                continue
+            if changed:
+                repaired += 1
+            kept.append({**sample, "conversations": fixed})
+    with open(args.output, "w") as f:
+        json.dump(kept, f, ensure_ascii=False)
+    print(f"fix-json: kept {len(kept)} ({repaired} repaired), dropped {dropped} "
+          f"-> {args.output}")
+    return 0
+
+
+def cmd_data_stats(args) -> int:
+    """statistics_data_num / statistics_image_num / statistics_audio_duration."""
+    folder = {}
+    if args.folder_map:
+        with open(args.folder_map) as f:
+            folder = json.load(f)
+    for path in args.data:
+        data = _load(path)
+        counts = {"image": 0, "video": 0, "audio": 0, "lang": 0}
+        n_images = 0
+        audio_s = 0.0
+        for sample in data:
+            mods = [k for k in ("image", "video", "audio") if k in sample]
+            for m in mods:
+                counts[m] += 1
+            if not mods:
+                counts["lang"] += 1
+            files = sample.get("image", [])
+            n_images += len(files) if isinstance(files, list) else 1
+            for key, full in _media_files(sample, folder, args.media_root):
+                if key == "audio" and os.path.exists(full):
+                    try:
+                        import wave
+
+                        with wave.open(full) as w:
+                            audio_s += w.getnframes() / w.getframerate()
+                    except Exception:
+                        pass
+        print(f"{path}: {len(data)} samples "
+              f"(image {counts['image']}, video {counts['video']}, "
+              f"audio {counts['audio']}, lang {counts['lang']}); "
+              f"{n_images} image refs; {audio_s:.1f}s audio")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="vita_tpu.data.tools")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -208,6 +335,24 @@ def main(argv=None) -> int:
     c.add_argument("--max-patches", type=int, default=12)
     c.add_argument("--max-length", type=int, default=6000)
     c.set_defaults(fn=cmd_concat)
+
+    c = sub.add_parser("remove-lost")
+    c.add_argument("data", nargs="+")
+    c.add_argument("--output", required=True)
+    c.add_argument("--media-root", default="")
+    c.add_argument("--folder-map", default=None)
+    c.set_defaults(fn=cmd_remove_lost)
+
+    c = sub.add_parser("fix-json")
+    c.add_argument("data", nargs="+")
+    c.add_argument("--output", required=True)
+    c.set_defaults(fn=cmd_fix_json)
+
+    c = sub.add_parser("data-stats")
+    c.add_argument("data", nargs="+")
+    c.add_argument("--media-root", default="")
+    c.add_argument("--folder-map", default=None)
+    c.set_defaults(fn=cmd_data_stats)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -158,21 +158,25 @@ def unstack_layers(params: Params) -> Params:
     return out
 
 
-def quantize_moe_for_decode(params: Params) -> Params:
+def quantize_moe_for_decode(params: Params, bits: int = 8) -> Params:
     """int8-quantize every layer's expert weights (weight-only) for the
     'gather_q' decode mode. Works on stacked or unstacked params; all
     non-expert weights stay in their original dtype (shared, not copied,
-    with the source pytree)."""
-    from vita_tpu.ops.moe_decode import quantize_expert_weights
+    with the source pytree). ``bits`` selects int8 or int4 packing."""
+    from vita_tpu.ops.moe_decode import (
+        quantize_expert_weights,
+        quantize_expert_weights_int4,
+    )
 
+    qfn = {8: quantize_expert_weights, 4: quantize_expert_weights_int4}[bits]
     out = dict(params)
     if isinstance(params["layers"], (list, tuple)):
         out["layers"] = [
-            {**lp, "moe": quantize_expert_weights(lp["moe"])} for lp in params["layers"]
+            {**lp, "moe": qfn(lp["moe"])} for lp in params["layers"]
         ]
     else:
         out["layers"] = dict(params["layers"])
-        out["layers"]["moe"] = quantize_expert_weights(params["layers"]["moe"])
+        out["layers"]["moe"] = qfn(params["layers"]["moe"])
     return out
 
 
@@ -343,7 +347,7 @@ def forward(
         x = x + moe_out.reshape(b, s, d)
         return (x, aux_sum + aux), (nk, nv)
 
-    gather_mode = cfg.moe_mode in ("gather", "gather_q")
+    gather_mode = cfg.moe_mode in ("gather", "gather_q", "gather_q4")
     if isinstance(params["layers"], (list, tuple)) or gather_mode or paged:
         # Python layer loop (unrolled at trace time). Used for unstacked
         # params (see unstack_layers) and for the Pallas gather decode
@@ -364,7 +368,11 @@ def forward(
             }
 
         def moe_gather_layer(h2d, moe_lp, layer_idx):
-            from vita_tpu.ops.moe_decode import gather_expert_ffn, gather_expert_ffn_q
+            from vita_tpu.ops.moe_decode import (
+                gather_expert_ffn,
+                gather_expert_ffn_q,
+                gather_expert_ffn_q4,
+            )
 
             router_logits = jnp.einsum(
                 "td,de->te", h2d.astype(jnp.float32), moe_lp["router"].astype(jnp.float32)
@@ -377,7 +385,9 @@ def forward(
             else:
                 idx = topk_i
                 src = moe_lp
-            if cfg.moe_mode == "gather_q":
+            if cfg.moe_mode == "gather_q4":
+                eo = gather_expert_ffn_q4(h2d, idx, src)
+            elif cfg.moe_mode == "gather_q":
                 eo = gather_expert_ffn_q(h2d, idx, src)
             else:
                 eo = gather_expert_ffn(h2d, idx, src["w_gate"], src["w_up"], src["w_down"])

@@ -125,12 +125,14 @@ def moe_ffn(
         out = jnp.einsum("te,etd->td", w_full.astype(x.dtype), out_e)
         return out.astype(x.dtype), aux
 
-    if mode == "gather_q":
-        # int8 weight-only decode path (params must be pre-quantized via
-        # ops.moe_decode.quantize_expert_weights / mixtral.quantize_moe_for_decode)
-        from vita_tpu.ops.moe_decode import gather_expert_ffn_q
+    if mode in ("gather_q", "gather_q4"):
+        # int8/int4 weight-only decode paths (params must be pre-quantized
+        # via ops.moe_decode.quantize_expert_weights[_int4] /
+        # mixtral.quantize_moe_for_decode)
+        from vita_tpu.ops.moe_decode import gather_expert_ffn_q, gather_expert_ffn_q4
 
-        expert_out = gather_expert_ffn_q(x, topk_i, params)
+        fn = gather_expert_ffn_q4 if mode == "gather_q4" else gather_expert_ffn_q
+        expert_out = fn(x, topk_i, params)
         out = jnp.sum(expert_out * topk_w[..., None].astype(x.dtype), axis=1)
         return out.astype(x.dtype), aux
 

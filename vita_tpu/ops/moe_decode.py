@@ -239,3 +239,149 @@ def moe_ffn_decode_q(qparams: dict, x: jnp.ndarray, top_k: int = 2):
     expert_out = gather_expert_ffn_q(x, topk_i, qparams)
     out = jnp.sum(expert_out * topk_w[..., None].astype(x.dtype), axis=1)
     return out.astype(x.dtype), jnp.zeros((), jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# int4 weight-only experts (4x less HBM traffic on the dominant stream)
+# ---------------------------------------------------------------------------
+def _pack_int4(q: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Pack int4 values ([-7,7] in an int8 array) two-per-byte by pairing
+    the two HALVES along ``axis`` (row a with row a + n/2) — unpacking is
+    then a plain concat, no sublane interleave."""
+    lo, hi = jnp.split(q.astype(jnp.int32), 2, axis=axis)
+    return ((hi << 4) | (lo & 0xF)).astype(jnp.int8)
+
+
+def _unpack_int4(p: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Inverse of _pack_int4 -> bfloat16 values."""
+    p32 = p.astype(jnp.int32)
+    u = p32 & 0xF
+    lo = (u ^ 8) - 8  # sign-extend the low nibble
+    hi = p32 >> 4  # arithmetic shift recovers the high nibble
+    return jnp.concatenate([lo, hi], axis=axis).astype(jnp.bfloat16)
+
+
+def quantize_expert_weights_int4(params, group: int = 0) -> dict:
+    """Symmetric int4 quantization (the next lever after int8 — replaces
+    bitsandbytes' 4-bit option, train.py:217-237). ``group=0`` (default)
+    scales per output channel; group>0 adds one scale per ``group``
+    contracted rows (measured on-chip: group-128 improves logits cosine
+    only 0.989->0.990 on random weights while costing +0.57 ms/tok in
+    scale DMAs + VPU multiplies, so per-channel is the default). Gate/up
+    pack along their input axis (D, never blocked by the kernel); down
+    packs along its output axis (D) so F-blocking works."""
+    @functools.partial(jax.jit, static_argnames=("pack_axis", "group"))
+    def _q_one(w, pack_axis, group):
+        wf = w.astype(jnp.float32)  # [E, A, B]
+        e, a, b = wf.shape
+        g = group if group and a % group == 0 else a
+        wg = wf.reshape(e, a // g, g, b)
+        scale = jnp.maximum(jnp.max(jnp.abs(wg), axis=2, keepdims=True) / 7.0, 1e-8)
+        q = jnp.clip(jnp.round(wg / scale), -7, 7).reshape(e, a, b).astype(jnp.int8)
+        return _pack_int4(q, pack_axis), scale[:, :, 0].astype(jnp.float32)
+
+    out = {"router": params["router"]}
+    # w_down groups along F, which the kernel BLOCKS (block_f=512): its
+    # per-block scale tile needs >= 8 sublanes (Mosaic), so group <= 64
+    axes = {
+        "w_gate": (-2, group),
+        "w_up": (-2, group),
+        "w_down": (-1, min(group, 64) if group else 0),
+    }
+    for name, (ax, g) in axes.items():
+        w = params[name]
+        if w.ndim == 4:  # [L, E, A, B] — per layer to bound fp32 temporaries
+            qs = [_q_one(w[l], pack_axis=ax, group=g) for l in range(w.shape[0])]
+            out[name] = jnp.stack([q for q, _ in qs])
+            out[name + "_scale"] = jnp.stack([sc for _, sc in qs])
+        else:
+            out[name], out[name + "_scale"] = _q_one(w, pack_axis=ax, group=g)
+    return out
+
+
+def _apply_group_scale(w: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
+    """w [A, B] bf16 * scale [A/g, B] broadcast over each g-row group."""
+    a, b = w.shape
+    ng = scale.shape[0]
+    g = a // ng
+    return (w.reshape(ng, g, b) * scale[:, None, :].astype(jnp.bfloat16)).reshape(a, b)
+
+
+def _gather_ffn_kernel_q4(
+    idx_ref,
+    x_ref,  # [1, 8, D]
+    wg_ref,  # [1, D/2, bf] int8 (packed along D)
+    wgs_ref,  # [1, D/g, bf] f32 group scales
+    wu_ref, wus_ref,
+    wd_ref,  # [1, bf, D/2] int8 (packed along D)
+    wds_ref,  # [1, bf/g, D] f32 group scales (blocked with F)
+    out_ref,  # [1, 8, D]
+    acc_ref,  # [8, D] f32
+):
+    fi = pl.program_id(1)
+    nf = pl.num_programs(1)
+
+    @pl.when(fi == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[0]  # [8, D]
+    wg = _apply_group_scale(_unpack_int4(wg_ref[0], 0), wgs_ref[0])  # [D, bf]
+    wu = _apply_group_scale(_unpack_int4(wu_ref[0], 0), wus_ref[0])
+    gate = jax.lax.dot_general(
+        x, wg, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    up = jax.lax.dot_general(
+        x, wu, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    h = jax.nn.silu(gate) * up
+    wd = _apply_group_scale(_unpack_int4(wd_ref[0], 1), wds_ref[0])  # [bf, D]
+    acc_ref[...] += jax.lax.dot_general(
+        h.astype(jnp.bfloat16), wd, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(fi == nf - 1)
+    def _finish():
+        out_ref[0] = acc_ref[...].astype(out_ref.dtype)
+
+
+def gather_expert_ffn_q4(
+    x: jnp.ndarray,  # [T, D]
+    topk_idx: jnp.ndarray,  # [T, k]
+    qparams: dict,
+    block_f: int = 512,
+) -> jnp.ndarray:
+    t, d = x.shape
+    k = topk_idx.shape[1]
+    e, _, f = qparams["w_gate"].shape  # [E, D/2, F]
+    bf = min(block_f, f)
+    nf = (f + bf - 1) // bf
+
+    flat_idx = topk_idx.reshape(t * k).astype(jnp.int32)
+    x_rep = jnp.broadcast_to(jnp.repeat(x, k, axis=0)[:, None, :], (t * k, 8, d))
+    n_dg = qparams["w_gate_scale"].shape[1]  # D/group
+    n_fg_per_block = qparams["w_down_scale"].shape[1] * bf // f  # bf/group
+
+    out = pl.pallas_call(
+        _gather_ffn_kernel_q4,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(t * k, nf),
+            in_specs=[
+                pl.BlockSpec((1, 8, d), lambda r, fi, idx: (r, 0, 0)),
+                pl.BlockSpec((1, d // 2, bf), lambda r, fi, idx: (idx[r], 0, fi)),
+                pl.BlockSpec((1, n_dg, bf), lambda r, fi, idx: (idx[r], 0, fi)),
+                pl.BlockSpec((1, d // 2, bf), lambda r, fi, idx: (idx[r], 0, fi)),
+                pl.BlockSpec((1, n_dg, bf), lambda r, fi, idx: (idx[r], 0, fi)),
+                pl.BlockSpec((1, bf, d // 2), lambda r, fi, idx: (idx[r], fi, 0)),
+                pl.BlockSpec((1, n_fg_per_block, d), lambda r, fi, idx: (idx[r], fi, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 8, d), lambda r, fi, idx: (r, 0, 0)),
+            scratch_shapes=[pltpu.VMEM((8, d), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((t * k, 8, d), x.dtype),
+    )(flat_idx, x_rep, qparams["w_gate"], qparams["w_gate_scale"],
+      qparams["w_up"], qparams["w_up_scale"],
+      qparams["w_down"], qparams["w_down_scale"])
+    return out[:, 0].reshape(t, k, d)

@@ -196,11 +196,13 @@ class Engine:
         # 'gather_q' additionally keeps an int8 expert copy (2x less HBM).
         if decode_moe_mode is None:
             decode_moe_mode = cfg.llm.moe_mode
-        if decode_moe_mode not in ("dense", "capacity", "sort", "gather", "gather_q"):
+        if decode_moe_mode not in ("dense", "capacity", "sort", "gather", "gather_q", "gather_q4"):
             raise ValueError(f"bad decode_moe_mode {decode_moe_mode!r}")
         self._decode_cfg = dataclasses.replace(cfg.llm, moe_mode=decode_moe_mode)
-        if decode_moe_mode == "gather_q":
-            self._decode_llm = mixtral.quantize_moe_for_decode(params["llm"])
+        if decode_moe_mode in ("gather_q", "gather_q4"):
+            self._decode_llm = mixtral.quantize_moe_for_decode(
+                params["llm"], bits=4 if decode_moe_mode == "gather_q4" else 8
+            )
         else:
             self._decode_llm = params["llm"]
 
