@@ -100,3 +100,25 @@ def test_streaming_bounded_context_limits_attention():
     assert not np.allclose(a[0], b[0])
     # last chunk is identical: the perturbed audio fell out of the window
     np.testing.assert_allclose(a[-1], b[-1], rtol=1e-4, atol=1e-4)
+
+
+def test_whale_flash_backend_matches_xla():
+    """Fused flash whale attention (augmented-key fold of the no-rel-shift
+    XL terms) == the XLA path, incl. padded rows masked by lengths."""
+    import dataclasses
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    cfg = wh.WhaleConfig.tiny()
+    cfg_f = dataclasses.replace(cfg, attn_backend="flash")
+    params = wh.init_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 120, 80))
+    lengths = jnp.asarray([120, 70])
+    ref, v1 = wh.forward(params, cfg, x, lengths)
+    with pltpu.force_tpu_interpret_mode():
+        got, v2 = wh.forward(params, cfg_f, x, lengths)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    m = np.asarray(v1)[..., None]
+    np.testing.assert_allclose(
+        np.asarray(got) * m, np.asarray(ref) * m, rtol=2e-4, atol=2e-4
+    )

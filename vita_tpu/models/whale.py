@@ -44,6 +44,7 @@ class WhaleConfig:
     ffn_dim: int = 4096
     ln_eps: float = 1e-5
     max_positions: int = 5000
+    attn_backend: str = "xla"  # 'xla' | 'flash' (fused; full-context only)
     dtype: Any = jnp.float32
 
     @property
@@ -56,6 +57,11 @@ class WhaleConfig:
 
     @staticmethod
     def vita(**kw) -> "WhaleConfig":
+        # measured on v5e at production geometry: XLA attention wins at
+        # realistic clip lengths (4 s: 2.09 vs 2.24 ms; 30 s: 8.68 vs
+        # 10.47 ms) — the flash path's augmented head dim (65 lanes pads
+        # to 128) costs more than the fused softmax saves at T' <= 750.
+        # 'flash' remains available for very long streaming sessions.
         return WhaleConfig(**kw)
 
     @staticmethod
@@ -221,15 +227,38 @@ def forward(
         k = (h @ lp["k_w"] + lp["k_b"]).reshape(b, t_sub, nh, hd)
         v = (h @ lp["v_w"] + lp["v_b"]).reshape(b, t_sub, nh, hd)
         p = (pos @ lp["pos_w"]).reshape(t_sub, nh, hd)
-        # Transformer-XL terms without rel_shift (attention.py:388-401):
-        # content score (q+u)·k^T plus position score (q+v)·p^T.
-        ac = jnp.einsum("bqhd,bkhd->bhqk", q + lp["pos_bias_u"], k,
-                        preferred_element_type=jnp.float32)
-        bd = jnp.einsum("bqhd,khd->bhqk", q + lp["pos_bias_v"], p,
-                        preferred_element_type=jnp.float32)
-        logits = (ac + bd) * scale + bias
-        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-        attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t_sub, cfg.hidden)
+        if cfg.attn_backend == "flash" and attn_chunk_mask is None:
+            # XL rel-pos WITHOUT rel_shift reduces exactly to standard
+            # attention: (q+u)·k + (q+v)·p = q·(k+p) + [u·k + v·p], i.e.
+            # modified keys plus a per-key additive bias — fold the bias
+            # into an augmented dimension (q gets a 1, k gets the bias)
+            # and ride the fused flash kernel. NOTE measured slower than
+            # XLA below ~30 s clips (lane padding 65->128); default stays
+            # 'xla' — this path is for very long streaming contexts.
+            from vita_tpu.ops.flash_attention import flash_mha
+
+            kt = k + p[None]
+            key_bias = (
+                jnp.einsum("hd,bkhd->bkh", lp["pos_bias_u"], k)
+                + jnp.einsum("hd,khd->kh", lp["pos_bias_v"], p)[None]
+            )
+            ones = jnp.ones((b, t_sub, nh, 1), q.dtype)
+            q_aug = jnp.concatenate([q, ones], axis=-1)
+            k_aug = jnp.concatenate([kt, key_bias[..., None].astype(k.dtype)], -1)
+            v_aug = jnp.concatenate([v, jnp.zeros_like(ones)], axis=-1)
+            attn = flash_mha(
+                q_aug, k_aug, v_aug, kv_len=out_len, causal=False, scale=scale
+            )[..., :hd].reshape(b, t_sub, cfg.hidden)
+        else:
+            # Transformer-XL terms without rel_shift (attention.py:388-401):
+            # content score (q+u)·k^T plus position score (q+v)·p^T.
+            ac = jnp.einsum("bqhd,bkhd->bhqk", q + lp["pos_bias_u"], k,
+                            preferred_element_type=jnp.float32)
+            bd = jnp.einsum("bqhd,khd->bhqk", q + lp["pos_bias_v"], p,
+                            preferred_element_type=jnp.float32)
+            logits = (ac + bd) * scale + bias
+            probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+            attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t_sub, cfg.hidden)
         x = x + (attn @ lp["out_w"] + lp["out_b"])
         h = layer_norm(x, lp["norm2_w"], lp["norm2_b"], cfg.ln_eps)
         h = jax.nn.relu(h @ lp["ffn1_w"] + lp["ffn1_b"])
