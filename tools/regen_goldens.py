@@ -128,7 +128,7 @@ def regen_whale(ref_dir, out_dir):
         input_dim=80, hidden_size=32, num_hidden_layers=2,
         num_attention_heads=4, intermediate_size=64,
         attention_dropout=0.0, hidden_dropout=0.0, layer_norm_eps=1e-5,
-        concat_after=False, normalize_before=True,
+        concat_after=False, normalize_before=True, qk_normalization=False,
     )
     torch.manual_seed(0)
     model = m.WhaleAudioModel(cfg).eval().float()
