@@ -366,3 +366,68 @@ def test_engine_prefill_compile_cache_bounded(tiny):
     # module-level programs shared across engines: bounded by bucket count
     assert engine_mod._prefill_chunk_fn._cache_size() <= 8
     assert engine_mod._embed_text._cache_size() <= 8
+
+
+def test_session_kv_prefix_reuse(tiny):
+    """Turn 2 of a session skips prefill for the shared prefix: outputs are
+    identical to a cold engine, and the prefill job starts at a non-zero
+    offset (SURVEY hard part 4)."""
+    cfg, params = tiny
+    base = np.concatenate([[1], np.arange(10, 90, dtype=np.int32)])
+
+    def turn2_ids(tokens1):
+        return np.concatenate([base, tokens1, np.arange(100, 120, dtype=np.int32)])
+
+    # cold reference
+    cold = Engine(params, cfg, n_slots=1, max_len=512, page_size=8,
+                  decode_chunk_len=2, prefill_chunk=16, prompt_buckets=(96, 256))
+    r1 = Request(input_ids=base, max_new_tokens=6, eos_id=-1)
+    cold.submit(r1)
+    cold.run_until_idle()
+    want_ids = turn2_ids(np.asarray(r1.tokens, np.int32))
+    r2 = Request(input_ids=want_ids, max_new_tokens=6, eos_id=-1)
+    cold.submit(r2)
+    cold.run_until_idle()
+
+    # session engine: same two turns with a session_key
+    eng = Engine(params, cfg, n_slots=1, max_len=512, page_size=8,
+                 decode_chunk_len=2, prefill_chunk=16, prompt_buckets=(96, 256))
+    s1 = Request(input_ids=base, max_new_tokens=6, eos_id=-1, session_key="s")
+    eng.submit(s1)
+    eng.run_until_idle()
+    assert s1.tokens == r1.tokens
+    assert eng.stats()["cached_prefixes"] == 1
+
+    offsets = []
+    orig = eng._start_prefill
+
+    def spy(slot, req, pages):
+        orig(slot, req, pages)
+        offsets.append(eng._prefill_job.offset)
+
+    eng._start_prefill = spy
+    s2 = Request(input_ids=turn2_ids(np.asarray(s1.tokens, np.int32)),
+                 max_new_tokens=6, eos_id=-1, session_key="s")
+    eng.submit(s2)
+    eng.run_until_idle()
+    assert offsets and offsets[0] > 0  # prefix actually skipped
+    assert eng.stats()["reused_prefix_rows"] >= offsets[0]
+    assert s2.tokens == r2.tokens  # identical output to cold prefill
+
+
+def test_session_cache_evicted_under_page_pressure(tiny):
+    cfg, params = tiny
+    eng = Engine(params, cfg, n_slots=1, max_len=64, page_size=8, total_pages=3,
+                 decode_chunk_len=2, prompt_buckets=(8,))
+    r1 = Request(input_ids=np.array([1, 5], np.int32), max_new_tokens=4,
+                 eos_id=-1, session_key="a")
+    eng.submit(r1)
+    eng.run_until_idle()
+    assert eng.stats()["cached_prefixes"] == 1
+    # a non-session request needs the pages the cache holds
+    r2 = Request(input_ids=np.arange(1, 8, dtype=np.int32), max_new_tokens=10,
+                 eos_id=-1)
+    eng.submit(r2)
+    eng.run_until_idle()
+    assert len(r2.tokens) == 10
+    assert eng.stats()["cached_prefixes"] == 0  # evicted to make room

@@ -99,14 +99,21 @@ def _paged_attn_kernel(
     length = lengths_ref[slot]
     n_pages = (length + page_size - 1) // page_size
 
+    n_pool = kp_hbm.shape[2]
+
     def k_copy(i, b):
+        # clamp: table rows may carry an OOB sentinel (= pool size) in
+        # unused entries; overshoot steps read a harmless page instead of
+        # DMA-ing out of bounds (their outputs are discarded host-side)
+        pid = jnp.minimum(tables_ref[slot, i], n_pool - 1)
         return pltpu.make_async_copy(
-            kp_hbm.at[layer, kvh, tables_ref[slot, i]], kbuf.at[b], sems.at[0, b]
+            kp_hbm.at[layer, kvh, pid], kbuf.at[b], sems.at[0, b]
         )
 
     def v_copy(i, b):
+        pid = jnp.minimum(tables_ref[slot, i], n_pool - 1)
         return pltpu.make_async_copy(
-            vp_hbm.at[layer, kvh, tables_ref[slot, i]], vbuf.at[b], sems.at[1, b]
+            vp_hbm.at[layer, kvh, pid], vbuf.at[b], sems.at[1, b]
         )
 
     o_ref[...] = jnp.zeros_like(o_ref)

@@ -19,6 +19,12 @@ scheduler; AsyncLLMEngine usage in web_interactive_demo.py):
   small int32 array per tick (not a logits row per token).
 - **Bucketed shapes**: prompts, image tiles and audio frames pad to fixed
   buckets so the XLA program cache stays bounded.
+- **KV-prefix reuse** (SURVEY hard part 4): text-only requests sharing a
+  ``session_key`` keep their pages after finishing; the next turn extracts
+  the longest common token prefix from those pages into the prefill
+  scratch (chunk-aligned) and only prefills the new suffix — multi-turn
+  TTFT stops scaling with history length. Cached prefixes are evicted
+  under page pressure.
 
 Requests stream tokens to callbacks and support cancellation mid-decode
 (the duplex interrupt path, web_interactive_demo.py:345-351).
@@ -71,6 +77,10 @@ class Request:
     speech_length: int = 0
     on_token: Optional[Callable[[int], None]] = None
     on_finish: Optional[Callable[[List[int], str], None]] = None
+    # multi-turn KV reuse: requests sharing a session_key keep their pages
+    # after finishing; the next request with that key skips prefill for the
+    # longest common token prefix (text-only prompts)
+    session_key: Optional[str] = None
     request_id: int = dataclasses.field(default_factory=itertools.count().__next__)
 
     # runtime state
@@ -137,6 +147,26 @@ def _prefill_chunk_fn(llm_params, sk, sv, embeds, offset, true_len,
 @functools.partial(jax.jit, donate_argnames=("kp", "vp"))
 def _install_fn(kp, vp, sk, sv, page_ids):
     return install_prefill_pages(kp, vp, sk, sv, page_ids)
+
+
+@jax.jit
+def _extract_fn(kp, vp, page_ids):
+    """Inverse of install: gather pages back into a linear prefill scratch
+    [L, 1, n_pp*page, Hkv, d] — the KV-prefix-reuse path (SURVEY hard part
+    4): a session's cached pages seed the next turn's scratch so only the
+    new suffix pays prefill compute."""
+    def gather(pages):
+        x = pages[:, :, jnp.clip(page_ids, 0, pages.shape[2] - 1)]
+        l, hkv, n_pp, page, hd = x.shape
+        return x.transpose(0, 2, 3, 1, 4).reshape(l, 1, n_pp * page, hkv, hd)
+
+    return gather(kp), gather(vp)
+
+
+@dataclasses.dataclass
+class _CachedPrefix:
+    ids: np.ndarray  # tokens whose kv rows live in pages (prompt+generated)
+    pages: List[int]
 
 
 @dataclasses.dataclass
@@ -239,6 +269,9 @@ class Engine:
         self._prefill_job: Optional[_PrefillJob] = None
         self._inflight: List[Any] = []  # dispatched, not-yet-read decode chunks
         self._finished: List[Request] = []
+        # session_key -> cached pages+ids of the previous turn (KV reuse)
+        self._prefix_cache: Dict[str, _CachedPrefix] = {}
+        self._reused_prefix_rows = 0
 
         del llm  # programs are module-level (shared across engines)
 
@@ -262,6 +295,8 @@ class Engine:
             "completed": float(len(done)),
             "free_pages": float(self.alloc.free_count),
             "total_pages": float(self.total_pages),
+            "cached_prefixes": float(len(self._prefix_cache)),
+            "reused_prefix_rows": float(self._reused_prefix_rows),
         }
         if done:
             ttfts = sorted(r.ttft_s for r in done)
@@ -332,7 +367,13 @@ class Engine:
         n_pages = pages_needed(s + req.max_new_tokens, self.page_size)
         pages = self.alloc.alloc(n_pages)
         if pages is None:
-            return  # head-of-line waits for pages (FIFO, no starvation)
+            # cached session prefixes are reclaimable: evict oldest first
+            while pages is None and self._prefix_cache:
+                key = next(iter(self._prefix_cache))
+                self.alloc.release(self._prefix_cache.pop(key).pages)
+                pages = self.alloc.alloc(n_pages)
+            if pages is None:
+                return  # head-of-line waits for pages (FIFO, no starvation)
         self._pending.popleft()
         self._start_prefill(free_slots[0], req, pages)
 
@@ -377,11 +418,44 @@ class Engine:
         llm = self.cfg.llm
         shape = (llm.n_layers, 1, bucket, llm.n_kv_heads, llm.head_dim)
         chunk = self.prefill_chunk if bucket % self.prefill_chunk == 0 else bucket
+        chunk = min(chunk, bucket)
+
+        # KV-prefix reuse (SURVEY hard part 4): if this session's previous
+        # turn left cached pages, seed the scratch with the longest common
+        # token prefix (chunk-aligned) and only prefill the suffix.
+        # Text-only prompts: with media, feature values could differ even
+        # when token ids match (different tiles), so media requests skip it.
+        offset = 0
+        cached = None
+        if req.session_key and req.images is None and req.speech is None:
+            cached = self._prefix_cache.pop(req.session_key, None)
+        if cached is not None:
+            m = min(len(cached.ids), s - 1)
+            shared = 0
+            cids = cached.ids
+            rids = np.asarray(req.input_ids)
+            while shared < m and cids[shared] == rids[shared]:
+                shared += 1
+            offset = (shared // chunk) * chunk
+            if offset > 0:
+                n_pp = bucket // self.page_size
+                ids_vec = np.zeros(n_pp, np.int32)
+                use = min(n_pp, len(cached.pages))
+                ids_vec[:use] = cached.pages[:use]
+                sk, sv = _extract_fn(
+                    self.cache["k_pages"], self.cache["v_pages"],
+                    jnp.asarray(ids_vec),
+                )
+                self._reused_prefix_rows += offset
+            self.alloc.release(cached.pages)
+        if offset == 0:
+            sk = jnp.zeros(shape, llm.dtype)
+            sv = jnp.zeros(shape, llm.dtype)
+
         self._prefill_job = _PrefillJob(
             req=req, slot=slot, pages=pages, true_len=s, bucket=bucket,
-            chunk=min(chunk, bucket),
-            embeds=embeds,
-            sk=jnp.zeros(shape, llm.dtype), sv=jnp.zeros(shape, llm.dtype),
+            chunk=chunk, offset=offset,
+            embeds=embeds, sk=sk, sv=sv,
         )
 
     def _prefill_tick(self) -> None:
@@ -419,7 +493,11 @@ class Engine:
             job.sk, job.sv, jnp.asarray(ids),
         )
         slot, req = job.slot, job.req
-        self._table_np[slot] = 0
+        # unused entries hold an OUT-OF-BOUNDS page id: the speculative
+        # decode overshoot past a request's allocation must DROP its writes
+        # (a 0 entry would scribble into page 0 — possibly another
+        # request's live page)
+        self._table_np[slot] = self.total_pages
         self._table_np[slot, : len(job.pages)] = job.pages
         self.cache["table"] = jnp.asarray(self._table_np)
         self.slot_req[slot] = req
@@ -538,7 +616,25 @@ class Engine:
         self._skip[slot] = 0
         pages = getattr(req, "_pages", None)
         if pages:
-            self.alloc.release(pages)
+            if (
+                req.session_key
+                and reason in ("eos", "length")
+                and req.images is None
+                and req.speech is None
+            ):
+                # keep this turn's kv for the session's next request
+                old = self._prefix_cache.pop(req.session_key, None)
+                if old is not None:
+                    self.alloc.release(old.pages)
+                self._prefix_cache[req.session_key] = _CachedPrefix(
+                    ids=np.concatenate(
+                        [np.asarray(req.input_ids, np.int64),
+                         np.asarray(req.tokens, np.int64)]
+                    ),
+                    pages=list(pages),
+                )
+            else:
+                self.alloc.release(pages)
             req._pages = None
         self._free_request(req, reason)
 

@@ -174,6 +174,8 @@ class ServingApp:
             max_new_tokens=int(payload.get("max_tokens", 256)),
             temperature=float(payload.get("temperature", 0.0)),
             eos_id=self.eos_id,
+            # text-only session turns reuse the previous turn's KV prefix
+            session_key=session_id,
         ), record
 
 
