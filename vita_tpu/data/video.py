@@ -115,23 +115,7 @@ def decode_video_frames_framecat(
 
         rel = sample_video_frames_framecat(span, fps, max_frames, min_frames)
         wanted = sorted(set((rel + first).tolist()))
-        frames_by_idx = {}
-        idx = 0
-        remaining = set(wanted)
-        while idx <= last and remaining:
-            ok = cap.grab()
-            if not ok:
-                break
-            if idx in remaining:
-                ok, frame = cap.retrieve()
-                if not ok:
-                    break
-                frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
-                frames_by_idx[idx] = cv2.resize(
-                    frame, (size, size), interpolation=cv2.INTER_CUBIC
-                )
-                remaining.discard(idx)
-            idx += 1
+        frames_by_idx = _grab_frames(cap, wanted, size)
         if not frames_by_idx:
             raise IOError(f"no frames decoded from {path}")
         # duplicated sample positions (short videos) reuse the same frame;
