@@ -58,6 +58,11 @@ class MixtralConfig:
     moe_capacity_factor: float = 1.25
     attn_backend: str = "xla"  # 'xla' | 'flash'
     remat: bool = False  # jax.checkpoint each layer (trade FLOPs for HBM)
+    # GPipe pipeline parallelism over the mesh 'pipe' axis
+    # (parallel/pipeline.py); >1 requires forward(..., mesh=...) and the
+    # cacheless training/prefill path. n_layers % pipe_stages == 0.
+    pipe_stages: int = 1
+    pipe_microbatches: int = 4
     dtype: Any = jnp.float32
 
     @property
@@ -114,27 +119,29 @@ def init_params(rng: jax.Array, cfg: MixtralConfig) -> Params:
 def param_specs(cfg: MixtralConfig) -> Params:
     """PartitionSpec pytree mirroring init_params' structure.
 
-    Leading layer-stack axis is unsharded; 'model' shards heads/ffn columns
-    (TP), 'expert' shards the expert axis (EP), 'fsdp' shards the remaining
-    large dim (ZeRO-3-style parameter sharding).
+    Leading layer-stack axis is unsharded (or sharded over 'pipe' when
+    pipe_stages > 1 — stage s owns the contiguous slice of layers); 'model'
+    shards heads/ffn columns (TP), 'expert' shards the expert axis (EP),
+    'fsdp' shards the remaining large dim (ZeRO-3-style parameter sharding).
     """
+    lead = "pipe" if cfg.pipe_stages > 1 else None
     return {
         "embed": P("model", "fsdp"),
         "layers": {
             "attn": {
-                "wq": P(None, "fsdp", "model"),
-                "wk": P(None, "fsdp", "model"),
-                "wv": P(None, "fsdp", "model"),
-                "wo": P(None, "model", "fsdp"),
+                "wq": P(lead, "fsdp", "model"),
+                "wk": P(lead, "fsdp", "model"),
+                "wv": P(lead, "fsdp", "model"),
+                "wo": P(lead, "model", "fsdp"),
             },
             "moe": {
-                "router": P(None, "fsdp", None),
-                "w_gate": P(None, "expert", "fsdp", "model"),
-                "w_up": P(None, "expert", "fsdp", "model"),
-                "w_down": P(None, "expert", "model", "fsdp"),
+                "router": P(lead, "fsdp", None),
+                "w_gate": P(lead, "expert", "fsdp", "model"),
+                "w_up": P(lead, "expert", "fsdp", "model"),
+                "w_down": P(lead, "expert", "model", "fsdp"),
             },
-            "ln_attn": P(None, None),
-            "ln_moe": P(None, None),
+            "ln_attn": P(lead, None),
+            "ln_moe": P(lead, None),
         },
         "ln_final": P(None),
         "lm_head": P("fsdp", "model"),
@@ -305,6 +312,7 @@ def forward(
     cache: Optional[Params] = None,
     token_mask: Optional[jnp.ndarray] = None,  # [B, S] real (non-pad) tokens, for aux loss
     return_hidden: bool = False,  # skip lm_head, return post-ln hidden [B, S, D]
+    mesh=None,  # required when cfg.pipe_stages > 1 (pipeline parallelism)
 ) -> Tuple[jnp.ndarray, Optional[Params], jnp.ndarray]:
     """Returns (logits [B, S, V], new_cache or None, moe_aux_loss scalar).
 
@@ -328,6 +336,42 @@ def forward(
         attn_valid = jnp.ones((b, kv_len), bool)
 
     tm_flat = None if token_mask is None else token_mask.reshape(-1)
+
+    if cfg.pipe_stages > 1:
+        gm = cfg.moe_mode in ("gather", "gather_q", "gather_q4")
+        if cache is not None or gm or isinstance(params["layers"], (list, tuple)):
+            raise ValueError(
+                "pipe_stages > 1 supports the cacheless stacked-layer "
+                "training/prefill path only (no KV cache, no gather decode)"
+            )
+        if mesh is None:
+            raise ValueError("pipe_stages > 1 requires forward(..., mesh=...)")
+        from vita_tpu.parallel.pipeline import pipeline_layer_stack
+
+        def pp_layer(lp, x, consts):
+            pos_mb, valid_mb, tm_mb = consts
+            bm, sm, _ = x.shape
+            h = rms_norm(x, lp["ln_attn"], cfg.rms_eps)
+            attn_out, _, _ = _attention_block(
+                lp["attn"], cfg, h, pos_mb, valid_mb, None, None, None
+            )
+            x = x + attn_out
+            h = rms_norm(x, lp["ln_moe"], cfg.rms_eps)
+            moe_out, aux = moe_ffn(
+                lp["moe"], h.reshape(bm * sm, d), cfg.top_k,
+                mode=cfg.moe_mode, capacity_factor=cfg.moe_capacity_factor,
+                token_mask=None if tm_mb is None else tm_mb.reshape(-1),
+            )
+            return x + moe_out.reshape(bm, sm, d), aux
+
+        x, aux_total = pipeline_layer_stack(
+            mesh, pp_layer, params["layers"], inputs_embeds,
+            (positions, attn_valid, token_mask),
+            cfg.pipe_stages, cfg.pipe_microbatches, remat=cfg.remat,
+        )
+        x = rms_norm(x, params["ln_final"], cfg.rms_eps)
+        logits = x if return_hidden else x @ params["lm_head"]
+        return logits, None, aux_total / cfg.n_layers
 
     def layer_fn(carry, layer_inputs):
         x, aux_sum = carry

@@ -289,6 +289,7 @@ def forward(
     cache: Optional[Params] = None,
     token_mask: Optional[jnp.ndarray] = None,
     audio_select: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    mesh=None,  # required when cfg.llm.pipe_stages > 1
 ) -> Tuple[jnp.ndarray, Optional[Params], jnp.ndarray]:
     """Full multimodal forward. Returns (logits, new_cache, moe_aux)."""
     embeds = fuse_embeddings(
@@ -299,5 +300,5 @@ def forward(
     return mixtral.forward(
         params["llm"], cfg.llm,
         inputs_embeds=embeds, attn_valid=attn_valid, cache=cache,
-        token_mask=token_mask,
+        token_mask=token_mask, mesh=mesh,
     )

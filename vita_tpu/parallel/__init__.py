@@ -1,1 +1,1 @@
-from vita_tpu.parallel.mesh import AXES, DATA, EXPERT, FSDP, MODEL, make_mesh, shard
+from vita_tpu.parallel.mesh import AXES, DATA, EXPERT, FSDP, MODEL, PIPE, make_mesh, shard

@@ -35,8 +35,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--model-max-length", type=int, default=8192)
     p.add_argument("--max-patches", type=int, default=12)
     p.add_argument("--no-resume", action="store_true")
-    p.add_argument("--mesh", type=int, nargs=4, default=None,
-                   help="mesh shape: data fsdp expert model")
+    p.add_argument("--mesh", type=int, nargs="+", default=None,
+                   help="mesh shape: data fsdp expert model [pipe]; a pipe "
+                        "size > 1 enables GPipe pipeline parallelism")
+    p.add_argument("--pipe-microbatches", type=int, default=4,
+                   help="GPipe microbatches when the mesh has pipe > 1")
     # stage chaining (reference: --pretrain_mm_mlp_adapter finetune.sh:16 /
     # vita_arch.py:63-69; whale final.pt init vita_arch.py:93-108; LoRA+base
     # builder.py:100-175)
@@ -119,6 +122,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     print(f"[data] {len(ds)} samples from {len(args.data)} file(s)")
 
     mesh = make_mesh(shape=args.mesh) if args.mesh else None
+    if mesh is not None and mesh.shape["pipe"] > 1:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, llm=_dc.replace(
+            cfg.llm, pipe_stages=mesh.shape["pipe"],
+            pipe_microbatches=args.pipe_microbatches))
     run = RunConfig(
         output_dir=args.output_dir,
         batch_size=args.batch_size,

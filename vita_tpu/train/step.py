@@ -116,6 +116,7 @@ def loss_fn(
     cfg: vita.VITAConfig,
     batch: Dict[str, jnp.ndarray],
     aux_coef: float,
+    mesh=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """batch: input_ids [B,S], labels [B,S], image_mask/audio_mask [B,S],
     attn_valid [B,S], images [N,H,W,3]?, speech [B,T,80]?, speech_lengths."""
@@ -129,6 +130,7 @@ def loss_fn(
         speech_lengths=batch.get("speech_lengths"),
         attn_valid=batch.get("attn_valid"),
         token_mask=batch.get("attn_valid"),
+        mesh=mesh,
     )
     # shift: predict t+1 from t
     logits = logits[:, :-1]
@@ -144,11 +146,14 @@ def loss_fn(
 
 
 def make_train_step(
-    cfg: vita.VITAConfig, tc: TrainConfig, optimizer: optax.GradientTransformation
+    cfg: vita.VITAConfig, tc: TrainConfig,
+    optimizer: optax.GradientTransformation, mesh=None,
 ) -> Callable:
+    """``mesh`` is only needed for pipeline parallelism
+    (cfg.llm.pipe_stages > 1); plain GSPMD sharding needs no mesh here."""
     def step(params, opt_state, batch):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, cfg, batch, tc.aux_loss_coef
+            params, cfg, batch, tc.aux_loss_coef, mesh
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

@@ -60,7 +60,7 @@ class Trainer:
             )
         self.params = params
         self.opt_state = self.optimizer.init(params)
-        self.step_fn = jax.jit(make_train_step(cfg, tc, self.optimizer))
+        self.step_fn = jax.jit(make_train_step(cfg, tc, self.optimizer, mesh=mesh))
         self.step = 0
         self.metrics_log: List[Dict[str, float]] = []
 
