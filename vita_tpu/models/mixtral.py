@@ -148,6 +148,20 @@ def param_specs(cfg: MixtralConfig) -> Params:
     }
 
 
+def decode_param_specs(cfg: MixtralConfig, params: Params) -> Params:
+    """param_specs extended to quantized decode params: the int8/int4
+    scale leaves (quantize_moe_for_decode) shard like their weights —
+    [L, E, ...] with the expert axis on 'expert'."""
+    specs = param_specs(cfg)
+    moe = dict(specs["layers"]["moe"])
+    for k_, v in params["layers"]["moe"].items():
+        if k_ not in moe:
+            moe[k_] = P(None, "expert", *(None,) * (v.ndim - 2))
+    specs["layers"] = dict(specs["layers"])
+    specs["layers"]["moe"] = moe
+    return specs
+
+
 def unstack_layers(params: Params) -> Params:
     """Convert the scan-stacked layer params into a per-layer list.
 
@@ -219,6 +233,7 @@ def _attention_block(
     layer_k: Optional[jnp.ndarray],  # cache slices [B, S_max, Hkv, D] or None
     layer_v: Optional[jnp.ndarray],
     cache_pos: Optional[jnp.ndarray],
+    mesh=None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
     b, s, d = x.shape
     hq, hkv, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -246,13 +261,13 @@ def _attention_block(
         # kv slots are stored at their absolute positions and validity is a
         # prefix (right padding), so causal+kv_len masking in-kernel is
         # exact; q positions are contiguous per row starting at q_offset.
-        from vita_tpu.ops.flash_attention import flash_mha
+        from vita_tpu.parallel.sharded_ops import sharded_flash_mha
 
-        out = flash_mha(
+        out = sharded_flash_mha(
             q, k_all.astype(q.dtype), v_all.astype(q.dtype),
             kv_len=jnp.sum(kv_valid, axis=1).astype(jnp.int32),
             q_offset=positions[:, 0].astype(jnp.int32),
-            causal=True,
+            causal=True, mesh=mesh,
         )
     else:
         # Additive bias: causal (kv_pos <= q_pos) AND kv slot valid.
@@ -276,9 +291,13 @@ def _attention_block_paged(
     pos: jnp.ndarray,  # [B] rows already written (current token's slot)
     active: Optional[jnp.ndarray],  # [B] bool or None
     layer_idx: int,
+    mesh=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Decode attention against the paged KV pool (ops.paged_attention)."""
-    from vita_tpu.ops.paged_attention import paged_attention, write_kv_rows
+    from vita_tpu.parallel.sharded_ops import (
+        sharded_paged_attention,
+        sharded_write_kv_rows,
+    )
 
     b, s, d = x.shape
     if s != 1:
@@ -289,14 +308,16 @@ def _attention_block_paged(
     v = (x @ lp["wv"]).reshape(b, s, hkv, hd)
     q, k = apply_rope(q, k, positions, cfg.rope_theta)
     layer = jnp.int32(layer_idx)
-    k_pages, v_pages = write_kv_rows(
-        k_pages, v_pages, layer, table, pos, k[:, 0], v[:, 0], active=active
+    k_pages, v_pages = sharded_write_kv_rows(
+        k_pages, v_pages, layer, table, pos, k[:, 0], v[:, 0], active,
+        mesh=mesh,
     )
     lengths = pos + 1
     if active is not None:
         lengths = jnp.where(active, lengths, 0)
-    out = paged_attention(
-        q[:, 0].astype(k_pages.dtype), k_pages, v_pages, table, lengths, layer
+    out = sharded_paged_attention(
+        q[:, 0].astype(k_pages.dtype), k_pages, v_pages, table, lengths,
+        layer, mesh=mesh,
     ).astype(x.dtype)
     out = out.reshape(b, s, hq * hd) @ lp["wo"]
     return out, k_pages, v_pages
@@ -379,7 +400,7 @@ def forward(
         h = rms_norm(x, lp["ln_attn"], cfg.rms_eps)
         attn_out, nk, nv = _attention_block(
             lp["attn"], cfg, h, positions, attn_valid, ck, cv,
-            cache["pos"] if cache is not None else None,
+            cache["pos"] if cache is not None else None, mesh=mesh,
         )
         x = x + attn_out
         h = rms_norm(x, lp["ln_moe"], cfg.rms_eps)
@@ -403,7 +424,7 @@ def forward(
         layers = params["layers"]
         stacked = not isinstance(layers, (list, tuple))
         moe_flat = None
-        if gather_mode and stacked:
+        if gather_mode and stacked and mesh is None:
             m = layers["moe"]
             moe_flat = {
                 k: v.reshape((-1,) + v.shape[2:])
@@ -423,18 +444,37 @@ def forward(
             )
             topk_w, topk_i, probs = route_topk(router_logits, cfg.top_k)
             aux = load_balancing_loss(probs, topk_i, cfg.n_experts, tm_flat)
-            if moe_flat is not None:
+            if mesh is not None and stacked:
+                # EP/TP serving: stacked expert weights sharded over the
+                # 'expert' mesh axis; the wrapper flattens per shard
+                from vita_tpu.parallel.sharded_ops import sharded_gather_ffn
+
+                eo = sharded_gather_ffn(
+                    h2d, topk_i,
+                    {k: v for k, v in layers["moe"].items() if k != "router"},
+                    layer_idx, cfg.n_experts, cfg.moe_mode, mesh=mesh,
+                )
+            elif moe_flat is not None:
                 idx = topk_i + layer_idx * cfg.n_experts
                 src = moe_flat
+                if cfg.moe_mode == "gather_q4":
+                    eo = gather_expert_ffn_q4(h2d, idx, src)
+                elif cfg.moe_mode == "gather_q":
+                    eo = gather_expert_ffn_q(h2d, idx, src)
+                else:
+                    eo = gather_expert_ffn(
+                        h2d, idx, src["w_gate"], src["w_up"], src["w_down"]
+                    )
             else:
-                idx = topk_i
                 src = moe_lp
-            if cfg.moe_mode == "gather_q4":
-                eo = gather_expert_ffn_q4(h2d, idx, src)
-            elif cfg.moe_mode == "gather_q":
-                eo = gather_expert_ffn_q(h2d, idx, src)
-            else:
-                eo = gather_expert_ffn(h2d, idx, src["w_gate"], src["w_up"], src["w_down"])
+                if cfg.moe_mode == "gather_q4":
+                    eo = gather_expert_ffn_q4(h2d, topk_i, src)
+                elif cfg.moe_mode == "gather_q":
+                    eo = gather_expert_ffn_q(h2d, topk_i, src)
+                else:
+                    eo = gather_expert_ffn(
+                        h2d, topk_i, src["w_gate"], src["w_up"], src["w_down"]
+                    )
             out = jnp.sum(eo * topk_w[..., None].astype(h2d.dtype), axis=1)
             return out.astype(h2d.dtype), aux
 
@@ -464,14 +504,14 @@ def forward(
             if paged:
                 attn_out, pages_k, pages_v = _attention_block_paged(
                     lp["attn"], cfg, h, positions, pages_k, pages_v,
-                    table, ppos, pactive, i,
+                    table, ppos, pactive, i, mesh=mesh,
                 )
             else:
                 ck = cache["k"][i] if cache is not None else None
                 cv = cache["v"][i] if cache is not None else None
                 attn_out, nk, nv = _attention_block(
                     lp["attn"], cfg, h, positions, attn_valid, ck, cv,
-                    cache["pos"] if cache is not None else None,
+                    cache["pos"] if cache is not None else None, mesh=mesh,
                 )
             x = x + attn_out
             h = rms_norm(x, lp["ln_moe"], cfg.rms_eps)
@@ -505,7 +545,8 @@ def forward(
                 lp, _, _ = layer_inputs
                 h = rms_norm(x, lp["ln_attn"], cfg.rms_eps)
                 attn_out, _, _ = _attention_block(
-                    lp["attn"], cfg, h, positions, attn_valid, None, None, None
+                    lp["attn"], cfg, h, positions, attn_valid, None, None,
+                    None, mesh=mesh,
                 )
                 x = x + attn_out
                 h = rms_norm(x, lp["ln_moe"], cfg.rms_eps)

@@ -61,6 +61,32 @@ def _gather_ffn_kernel(
         out_ref[0] = acc_ref[...].astype(out_ref.dtype)
 
 
+def _use_xla_fallback() -> bool:
+    """True off-TPU unless a Pallas interpreter context is active — same
+    rule as ops.paged_attention, so the gather paths (and the engines
+    built on them) run on CPU meshes in tests."""
+    from jax._src import config as _jax_config
+
+    interpret_forced = (
+        _jax_config.pallas_tpu_interpret_mode_context_manager.value is not None
+    )
+    return jax.default_backend() != "tpu" and not interpret_forced
+
+
+def _gather_ffn_xla(x, topk_idx, w_gate, w_up, w_down) -> jnp.ndarray:
+    """Reference/fallback path: gather the selected experts' weights and
+    run the SwiGLU with plain einsums (reads everything — correctness
+    twin of the Pallas kernel for non-TPU backends)."""
+    wg = jnp.take(w_gate, topk_idx, axis=0)  # [T, k, D, F]
+    wu = jnp.take(w_up, topk_idx, axis=0)
+    wd = jnp.take(w_down, topk_idx, axis=0)  # [T, k, F, D]
+    gate = jnp.einsum("td,tkdf->tkf", x, wg)
+    up = jnp.einsum("td,tkdf->tkf", x, wu)
+    h = jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)
+    out = jnp.einsum("tkf,tkfd->tkd", h.astype(wd.dtype), wd)
+    return out.astype(x.dtype)
+
+
 def gather_expert_ffn(
     x: jnp.ndarray,  # [T, D]
     topk_idx: jnp.ndarray,  # [T, k] int32
@@ -71,6 +97,8 @@ def gather_expert_ffn(
 ) -> jnp.ndarray:
     """Per-(token, k) expert FFN outputs [T, k, D] — only selected experts
     are read from HBM."""
+    if _use_xla_fallback():
+        return _gather_ffn_xla(x, topk_idx, w_gate, w_up, w_down)
     t, d = x.shape
     k = topk_idx.shape[1]
     e, _, f = w_gate.shape
@@ -196,6 +224,14 @@ def gather_expert_ffn_q(
     qparams: dict,
     block_f: int = 512,  # int8 blocks are half-size: 512 fits VMEM
 ) -> jnp.ndarray:
+    if _use_xla_fallback():
+        deq = lambda name: (
+            qparams[name].astype(jnp.bfloat16)
+            * qparams[name + "_scale"].astype(jnp.bfloat16)
+        )
+        return _gather_ffn_xla(
+            x, topk_idx, deq("w_gate"), deq("w_up"), deq("w_down")
+        )
     t, d = x.shape
     k = topk_idx.shape[1]
     e, _, f = qparams["w_gate"].shape
@@ -352,6 +388,19 @@ def gather_expert_ffn_q4(
     qparams: dict,
     block_f: int = 512,
 ) -> jnp.ndarray:
+    if _use_xla_fallback():
+        wg = jax.vmap(_apply_group_scale)(
+            _unpack_int4(qparams["w_gate"], -2), qparams["w_gate_scale"]
+        )
+        wu = jax.vmap(_apply_group_scale)(
+            _unpack_int4(qparams["w_up"], -2), qparams["w_up_scale"]
+        )
+        # w_down packs/groups along its OUTPUT axis (D): unpack on -1, then
+        # apply the [F/g, D] scales over the F rows
+        wd = jax.vmap(_apply_group_scale)(
+            _unpack_int4(qparams["w_down"], -1), qparams["w_down_scale"]
+        )
+        return _gather_ffn_xla(x, topk_idx, wg, wu, wd)
     t, d = x.shape
     k = topk_idx.shape[1]
     e, _, f = qparams["w_gate"].shape  # [E, D/2, F]

@@ -1,0 +1,226 @@
+"""Multi-chip wrappers for the Pallas serving kernels.
+
+GSPMD auto-partitions everything in the decode/prefill programs except the
+Pallas custom calls (paged attention, flash attention, selected-expert
+gather FFN) — those need explicit `shard_map` islands. Each wrapper is
+manual over exactly one mesh axis and a no-op (direct kernel call) when
+that axis has size 1, so single-chip behavior is byte-identical:
+
+  - attention kernels: heads shard over 'model' (TP). Query/kv heads are
+    contiguous blocks per shard, so the in-kernel GQA mapping
+    (q_head // rep -> kv_head) stays correct locally; no collective needed.
+  - gather MoE: experts shard over 'expert' (EP). Each shard computes the
+    (token, k) pairs routed to its local experts and psums the partial
+    outputs. Pairs are pre-sorted by expert so consecutive grid rows hit
+    the same weight block and Pallas skips the re-fetch — a shard's HBM
+    traffic is its *unique local* selected experts, which is what makes
+    EP scale decode bandwidth (the reference gets this from vLLM's
+    TP-sharded FusedMoE, web_demo/vllm_tools/vllm_file/mixtral.py:375-423).
+
+These compose with the declarative PartitionSpec trees: the wrappers'
+in_specs match `mixtral.param_specs`, so no resharding happens at the
+manual/auto boundary.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from vita_tpu.parallel.mesh import EXPERT, MODEL
+
+
+def _axis(mesh: Optional[Mesh], name: str) -> int:
+    return int(mesh.shape[name]) if mesh is not None and name in mesh.shape else 1
+
+
+def sharded_paged_attention(
+    q: jnp.ndarray,  # [B, Hq, d]
+    k_pages: jnp.ndarray,  # [L, Hkv, P, page, d]
+    v_pages: jnp.ndarray,
+    table: jnp.ndarray,  # [B, max_pages]
+    lengths: jnp.ndarray,  # [B]
+    layer: jnp.ndarray,
+    mesh: Optional[Mesh] = None,
+) -> jnp.ndarray:
+    from vita_tpu.ops.paged_attention import paged_attention
+
+    tp = _axis(mesh, MODEL)
+    if tp == 1:
+        return paged_attention(q, k_pages, v_pages, table, lengths, layer)
+    if q.shape[1] % tp or k_pages.shape[1] % tp:
+        raise ValueError(
+            f"heads ({q.shape[1]}q/{k_pages.shape[1]}kv) not divisible by "
+            f"model axis {tp}"
+        )
+
+    def f(q, kp, vp, table, lengths, layer):
+        return paged_attention(q, kp, vp, table, lengths, layer)
+
+    return jax.shard_map(
+        f, mesh=mesh,
+        in_specs=(P(None, MODEL, None), P(None, MODEL, None, None, None),
+                  P(None, MODEL, None, None, None), P(), P(), P()),
+        out_specs=P(None, MODEL, None),
+        axis_names={MODEL},
+    )(q, k_pages, v_pages, table, lengths, layer)
+
+
+def sharded_write_kv_rows(
+    k_pages: jnp.ndarray,
+    v_pages: jnp.ndarray,
+    layer: jnp.ndarray,
+    table: jnp.ndarray,
+    pos: jnp.ndarray,
+    k: jnp.ndarray,  # [B, Hkv, d]
+    v: jnp.ndarray,
+    active: Optional[jnp.ndarray],
+    mesh: Optional[Mesh] = None,
+):
+    from vita_tpu.ops.paged_attention import write_kv_rows
+
+    tp = _axis(mesh, MODEL)
+    if tp == 1:
+        return write_kv_rows(k_pages, v_pages, layer, table, pos, k, v,
+                             active=active)
+
+    def f(kp, vp, layer, table, pos, k, v, active):
+        return write_kv_rows(kp, vp, layer, table, pos, k, v, active=active)
+
+    pg = P(None, MODEL, None, None, None)
+    return jax.shard_map(
+        f, mesh=mesh,
+        in_specs=(pg, pg, P(), P(), P(), P(None, MODEL, None),
+                  P(None, MODEL, None), P()),
+        out_specs=(pg, pg),
+        axis_names={MODEL},
+    )(k_pages, v_pages, layer, table, pos, k, v, active)
+
+
+def sharded_flash_mha(
+    q: jnp.ndarray,  # [B, S, Hq, d]
+    k: jnp.ndarray,  # [B, Skv, Hkv, d]
+    v: jnp.ndarray,
+    kv_len: jnp.ndarray,  # [B]
+    q_offset: jnp.ndarray,  # [B]
+    causal: bool,
+    mesh: Optional[Mesh] = None,
+) -> jnp.ndarray:
+    from vita_tpu.ops.flash_attention import flash_mha
+
+    tp = _axis(mesh, MODEL)
+    if tp == 1:
+        return flash_mha(q, k, v, kv_len=kv_len, q_offset=q_offset,
+                         causal=causal)
+    if q.shape[2] % tp or k.shape[2] % tp:
+        raise ValueError(
+            f"heads ({q.shape[2]}q/{k.shape[2]}kv) not divisible by "
+            f"model axis {tp}"
+        )
+
+    def f(q, k, v, kv_len, q_offset):
+        return flash_mha(q, k, v, kv_len=kv_len, q_offset=q_offset,
+                         causal=causal)
+
+    hs = P(None, None, MODEL, None)
+    return jax.shard_map(
+        f, mesh=mesh,
+        in_specs=(hs, hs, hs, P(), P()),
+        out_specs=hs,
+        axis_names={MODEL},
+    )(q, k, v, kv_len, q_offset)
+
+
+def _sort_pairs_by_expert(topk_idx: jnp.ndarray):
+    """Flatten [T, k] -> sorted flat pair order (and its inverse) so equal
+    experts are adjacent: consecutive Pallas grid rows then map to the same
+    weight block and the pipeline skips the duplicate HBM fetch."""
+    t, k = topk_idx.shape
+    flat = topk_idx.reshape(t * k)
+    order = jnp.argsort(flat, stable=True)
+    inv = jnp.argsort(order)
+    return flat, order, inv
+
+
+def sharded_gather_ffn(
+    x: jnp.ndarray,  # [T, D]
+    topk_idx: jnp.ndarray,  # [T, k] per-layer expert ids in [0, E)
+    moe_stacked: Dict[str, jnp.ndarray],  # leaves [L, E, ...] (+ scales), no router
+    layer_idx: int,
+    n_experts: int,
+    mode: str,  # 'gather' | 'gather_q' | 'gather_q4'
+    mesh: Optional[Mesh] = None,
+) -> jnp.ndarray:
+    """EP-sharded selected-expert FFN: returns [T, k, D] per-pair outputs.
+
+    Weights stay in their stacked [L, E, ...] layout sharded over 'expert';
+    each shard flattens its local slice to the [L*E_local, ...] layout the
+    gather kernels index (models/mixtral.py decode path), computes the
+    pairs routed to local experts (others clamped + masked to zero), and
+    the partial outputs psum over the expert axis.
+    """
+    from vita_tpu.ops.moe_decode import (
+        gather_expert_ffn,
+        gather_expert_ffn_q,
+        gather_expert_ffn_q4,
+    )
+
+    ep = _axis(mesh, EXPERT)
+    t, k = topk_idx.shape
+
+    def run_local(x_s, idx_rows, weights, e_local):
+        """idx_rows: [T*k] local flat (layer*E_local + e_loc) indices,
+        already expert-sorted; rows with e out of range are clamped and
+        masked by the caller."""
+        flat = {
+            name: w.reshape((w.shape[0] * w.shape[1],) + w.shape[2:])
+            for name, w in weights.items()
+        }
+        idx2 = idx_rows.reshape(t * k, 1)  # kernel wants [T, k]
+        if mode == "gather_q4":
+            return gather_expert_ffn_q4(x_s, idx2, flat)
+        if mode == "gather_q":
+            return gather_expert_ffn_q(x_s, idx2, flat)
+        return gather_expert_ffn(
+            x_s, idx2, flat["w_gate"], flat["w_up"], flat["w_down"]
+        )
+
+    if ep == 1:
+        # single shard: still sort pairs so duplicate experts in a batch
+        # fetch their weight blocks once
+        flat, order, inv = _sort_pairs_by_expert(topk_idx)
+        x_rows = jnp.repeat(x, k, axis=0)[order]
+        idx_rows = flat[order] + layer_idx * n_experts
+        out = run_local(x_rows, idx_rows, moe_stacked, n_experts)
+        return out.reshape(t * k, -1)[inv].reshape(t, k, x.shape[-1])
+
+    if n_experts % ep:
+        raise ValueError(f"{n_experts} experts not divisible by expert axis {ep}")
+    e_local = n_experts // ep
+
+    def f(x, topk_idx, *leaves):
+        weights = dict(zip(names, leaves))
+        r = jax.lax.axis_index(EXPERT)
+        e0 = r * e_local
+        flat, order, inv = _sort_pairs_by_expert(topk_idx)
+        e_sorted = flat[order]
+        local = (e_sorted >= e0) & (e_sorted < e0 + e_local)
+        e_loc = jnp.clip(e_sorted - e0, 0, e_local - 1)
+        x_rows = jnp.repeat(x, k, axis=0)[order]
+        idx_rows = e_loc + layer_idx * e_local
+        out = run_local(x_rows, idx_rows, weights, e_local)
+        out = out.reshape(t * k, -1) * local[:, None].astype(out.dtype)
+        out = out[inv].reshape(t, k, x.shape[-1])
+        return jax.lax.psum(out, EXPERT)
+
+    names = sorted(moe_stacked)
+    wspec = P(None, EXPERT)
+    return jax.shard_map(
+        f, mesh=mesh,
+        in_specs=(P(), P()) + tuple(wspec for _ in names),
+        out_specs=P(),
+        axis_names={EXPERT},
+    )(x, topk_idx, *[moe_stacked[n] for n in names])

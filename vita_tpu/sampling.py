@@ -91,7 +91,7 @@ def sample_tokens(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("llm_cfg", "chunk_len", "sampling_mode"),
+    static_argnames=("llm_cfg", "chunk_len", "sampling_mode", "mesh"),
     donate_argnames=("cache",),
 )
 def decode_chunk(
@@ -108,6 +108,7 @@ def decode_chunk(
     llm_cfg: mixtral.MixtralConfig,
     chunk_len: int,
     sampling_mode: str = "filtered",
+    mesh=None,  # TP/EP serving mesh (parallel/sharded_ops.py); hashable static
 ) -> Tuple[Dict[str, Any], jnp.ndarray, jnp.ndarray, jax.Array]:
     """Run ``chunk_len`` decode steps fully on device.
 
@@ -132,7 +133,7 @@ def decode_chunk(
                  "table": table, "pos": pos, "active": active}
             logits, nc, _ = mixtral.forward(
                 llm_params, llm_cfg, input_ids=tok[:, None],
-                positions=pos[:, None], cache=c,
+                positions=pos[:, None], cache=c, mesh=mesh,
             )
             key, sub = jax.random.split(key)
             nxt = sample_tokens(logits[:, -1], sub, temperature, top_k, top_p,
@@ -159,7 +160,7 @@ def decode_chunk(
         valid = (jnp.arange(max_len)[None, :] <= pos[:, None]) & active[:, None]
         logits, nc, _ = mixtral.forward(
             llm_params, llm_cfg, input_ids=tok[:, None],
-            positions=pos[:, None], attn_valid=valid, cache=c,
+            positions=pos[:, None], attn_valid=valid, cache=c, mesh=mesh,
         )
         key, sub = jax.random.split(key)
         nxt = sample_tokens(logits[:, -1], sub, temperature, top_k, top_p,

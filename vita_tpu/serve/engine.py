@@ -121,10 +121,10 @@ def _embed_media(params, cfg, ids, im, am, images, speech, sl, audio_select):
 
 
 @functools.partial(
-    jax.jit, donate_argnames=("sk", "sv"), static_argnames=("llm", "chunk")
+    jax.jit, donate_argnames=("sk", "sv"), static_argnames=("llm", "chunk", "mesh")
 )
 def _prefill_chunk_fn(llm_params, sk, sv, embeds, offset, true_len,
-                      temp, tk, tp, key, *, llm, chunk):
+                      temp, tk, tp, key, *, llm, chunk, mesh=None):
     """One prefill chunk into the linear scratch; samples the first token
     from the row holding position true_len-1 (valid on the last chunk)."""
     p_len, d = embeds.shape[1], embeds.shape[2]
@@ -134,7 +134,7 @@ def _prefill_chunk_fn(llm_params, sk, sv, embeds, offset, true_len,
     valid = jnp.arange(p_len)[None] < offset + chunk
     hidden, nc, _ = mixtral.forward(
         llm_params, llm, inputs_embeds=x, positions=positions,
-        attn_valid=valid, cache=c, return_hidden=True,
+        attn_valid=valid, cache=c, return_hidden=True, mesh=mesh,
     )
     row = jnp.clip(true_len - 1 - offset, 0, chunk - 1)
     h = jax.lax.dynamic_slice(hidden, (0, row, 0), (1, 1, d))[:, 0]
@@ -202,9 +202,15 @@ class Engine:
         prompt_buckets: Sequence[int] = DEFAULT_PROMPT_BUCKETS,
         tile_buckets: Sequence[int] = DEFAULT_TILE_BUCKETS,
         frame_buckets: Sequence[int] = DEFAULT_FRAME_BUCKETS,
+        mesh=None,  # TP/EP serving mesh: params + KV pool sharded over
+        # ('model', 'expert'); Pallas kernels run per-shard via
+        # parallel/sharded_ops. This is how the 87 GB deployed model fits
+        # (the reference uses vLLM tensor_parallel_size=2 per replica,
+        # web_demo/web_ability_demo.py:343).
     ):
         self.params = params
         self.cfg = cfg
+        self.mesh = mesh
         self.n_slots = n_slots
         self.max_len = max_len
         page_size = min(page_size, max_len)
@@ -235,6 +241,21 @@ class Engine:
             )
         else:
             self._decode_llm = params["llm"]
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+
+            put = lambda x, s: jax.device_put(x, NamedSharding(mesh, s))
+            self.params = jax.tree.map(
+                put, self.params, vita.param_specs(cfg)
+            )
+            if self._decode_llm is params["llm"]:
+                self._decode_llm = self.params["llm"]
+            else:
+                self._decode_llm = jax.tree.map(
+                    put, self._decode_llm,
+                    mixtral.decode_param_specs(self._decode_cfg, self._decode_llm),
+                )
+            params = self.params
 
         llm = cfg.llm
         self.max_pages_per_slot = pages_needed(max_len, page_size)
@@ -253,6 +274,14 @@ class Engine:
             "table": jnp.asarray(self._table_np),
             "pos": jnp.zeros((n_slots,), jnp.int32),
         }
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            kv_spec = P(None, "model", None, None, None)
+            self.cache["k_pages"] = jax.device_put(
+                self.cache["k_pages"], NamedSharding(mesh, kv_spec))
+            self.cache["v_pages"] = jax.device_put(
+                self.cache["v_pages"], NamedSharding(mesh, kv_spec))
 
         # host-side slot state
         self.pos = np.zeros(n_slots, np.int32)
@@ -473,7 +502,7 @@ class Engine:
             jnp.asarray([job.req.temperature], jnp.float32),
             jnp.asarray([job.req.top_k], jnp.int32),
             jnp.asarray([job.req.top_p], jnp.float32),
-            self._key, llm=self.cfg.llm, chunk=job.chunk,
+            self._key, llm=self.cfg.llm, chunk=job.chunk, mesh=self.mesh,
         )
         job.offset += job.chunk
         if job.offset < min(-(-job.true_len // job.chunk) * job.chunk, job.bucket):
@@ -550,7 +579,7 @@ class Engine:
                 jnp.asarray(self._temps[idx]), jnp.asarray(self._topk[idx]),
                 jnp.asarray(self._topp[idx]), self._key,
                 llm_cfg=self._decode_cfg, chunk_len=self.decode_chunk_len,
-                sampling_mode=mode,
+                sampling_mode=mode, mesh=self.mesh,
             )
             self.cache["k_pages"] = new_cache["k_pages"]
             self.cache["v_pages"] = new_cache["v_pages"]
