@@ -147,6 +147,18 @@ def moe_ffn(
         out = jnp.sum(expert_out * topk_w[..., None].astype(x.dtype), axis=1)
         return out.astype(x.dtype), aux
 
+    if mode == "gmm":
+        # Megablox-style grouped matmul (ops/moe_gmm.py): tokens sorted by
+        # expert + tile-padded, then the three expert matmuls run as plain
+        # MXU tiles with scalar-prefetched per-tile weight indices. Exact
+        # (dropless) — matches 'dense' combination with no capacity loss;
+        # the training-at-scale path that replaces the sort-mode dispatch
+        # scatter with straight-line matmuls (SURVEY hard part #1).
+        from vita_tpu.ops.moe_gmm import moe_ffn_gmm
+
+        out = moe_ffn_gmm(params, x, topk_w, topk_i)
+        return out.astype(x.dtype), aux
+
     if mode == "sort":
         # Sort-based ragged dispatch (training at scale): flat (token, slot)
         # pairs sort by expert, land in a [E, C, D] buffer by scatter, run

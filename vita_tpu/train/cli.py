@@ -40,6 +40,12 @@ def main(argv: Optional[List[str]] = None) -> int:
                         "size > 1 enables GPipe pipeline parallelism")
     p.add_argument("--pipe-microbatches", type=int, default=4,
                    help="GPipe microbatches when the mesh has pipe > 1")
+    p.add_argument("--moe-mode", default=None,
+                   choices=["dense", "capacity", "sort", "gmm"],
+                   help="training MoE dispatch: dense (exact, E/k extra "
+                        "FLOPs), capacity/sort (token-dropping), gmm "
+                        "(Pallas grouped matmul — exact AND top-k-only "
+                        "FLOPs, the fastest at scale)")
     # stage chaining (reference: --pretrain_mm_mlp_adapter finetune.sh:16 /
     # vita_arch.py:63-69; whale final.pt init vita_arch.py:93-108; LoRA+base
     # builder.py:100-175)
@@ -120,6 +126,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         ),
     )
     print(f"[data] {len(ds)} samples from {len(args.data)} file(s)")
+
+    if args.moe_mode:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, llm=_dc.replace(cfg.llm, moe_mode=args.moe_mode))
 
     mesh = make_mesh(shape=args.mesh) if args.mesh else None
     if mesh is not None and mesh.shape["pipe"] > 1:
