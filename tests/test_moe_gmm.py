@@ -120,6 +120,25 @@ def test_gmm_kernel_interpret_matches_einsum():
     np.testing.assert_array_equal(np.asarray(dw[1]), np.zeros((k_dim, n_dim)))
 
 
+def test_gmm_kernel_interpret_big_schedule(monkeypatch):
+    """The k-blocked big-R schedule (training sizes) must match the
+    weights-once small-R schedule; force it via the R threshold."""
+    from vita_tpu.ops import moe_gmm
+
+    e, r, k_dim, n_dim = 3, 4 * TILE_M, 128, 256
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((r, k_dim)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((e, k_dim, n_dim)), jnp.float32) * 0.1
+    gids = jnp.asarray([0, 1, 2, 2], jnp.int32)
+
+    with pltpu.force_tpu_interpret_mode():
+        y_small = gmm(x, w, gids)
+        monkeypatch.setattr(moe_gmm, "SMALL_R_MAX", 0)
+        y_big = gmm(x, w, gids)
+    np.testing.assert_allclose(np.asarray(y_big), np.asarray(y_small),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_gmm_train_step_runs():
     """Full train step with moe_mode='gmm' (XLA fallback on CPU): finite
     loss matching the dense-mode step."""
@@ -139,5 +158,14 @@ def test_gmm_train_step_runs():
     cfg_g = dataclasses.replace(cfg, moe_mode="gmm")
     l_gmm = float(loss(params, cfg_g))
     np.testing.assert_allclose(l_gmm, l_dense, rtol=1e-5)
-    g = jax.grad(loss)(params, cfg_g)
-    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
+    # grads flow through gmm_scan's custom VJP (the scan path reads flat
+    # uint weight views; grads must land on the stacked params) and match
+    # dense-mode grads
+    g_dense = jax.grad(loss)(params, cfg)
+    g_gmm = jax.grad(loss)(params, cfg_g)
+    flat_d, tree_d = jax.tree.flatten(g_dense)
+    flat_g, tree_g = jax.tree.flatten(g_gmm)
+    assert tree_d == tree_g
+    for a, b in zip(flat_d, flat_g):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-4)

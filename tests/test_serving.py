@@ -40,6 +40,37 @@ def test_engine_matches_generator(tiny):
     assert req.tokens == want
 
 
+@pytest.mark.parametrize("mode", ["gmm", "sort"])
+def test_engine_prefill_moe_modes_match_dense(tiny, mode):
+    """Greedy tokens must not change when prefill dispatch switches from
+    dense einsums to the grouped-matmul (exact) or sort (capacity,
+    generous at tiny shapes) paths; both Engine and Generator surfaces."""
+    cfg, params = tiny
+    prompt = np.array([1, 50, 60, 70], np.int32)
+
+    want = Generator(params, cfg, max_len=64).generate(
+        prompt, gen=GenerationConfig(max_new_tokens=6, eos_id=-1)
+    )
+    got = Generator(params, cfg, max_len=64, prefill_moe_mode=mode).generate(
+        prompt, gen=GenerationConfig(max_new_tokens=6, eos_id=-1)
+    )
+    assert got == want
+
+    eng = Engine(params, cfg, n_slots=1, max_len=64, prefill_moe_mode=mode)
+    req = Request(input_ids=prompt, max_new_tokens=6, eos_id=-1)
+    eng.submit(req)
+    eng.run_until_idle()
+    assert req.tokens == want
+
+
+def test_engine_prefill_moe_mode_validation(tiny):
+    cfg, params = tiny
+    with pytest.raises(ValueError, match="prefill_moe_mode"):
+        Engine(params, cfg, n_slots=1, max_len=64, prefill_moe_mode="gather")
+    with pytest.raises(ValueError, match="prefill_moe_mode"):
+        Generator(params, cfg, max_len=64, prefill_moe_mode="nope")
+
+
 def test_engine_concurrent_requests_match_sequential(tiny):
     """Two interleaved requests produce the same tokens as run alone."""
     cfg, params = tiny

@@ -90,6 +90,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--decode-moe-mode", default=None,
                    choices=["dense", "capacity", "gather", "gather_q", "gather_q4"],
                    help="MoE path for decode steps (default: inherit model config)")
+    p.add_argument("--prefill-moe-mode", default=None,
+                   choices=["dense", "capacity", "sort", "gmm"],
+                   help="MoE dispatch for the prefill pass: gmm = grouped "
+                        "matmul, exact with top-k-only FLOPs (long-prompt "
+                        "TTFT); sort = fastest but capacity-dropping")
     args = p.parse_args(argv)
 
     import jax
@@ -168,7 +173,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     safe, im, am = media_masks(np.array(expanded))
 
     gen = Generator(params, cfg, max_len=args.max_len, chunk_len=args.chunk_len,
-                    decode_moe_mode=args.decode_moe_mode)
+                    decode_moe_mode=args.decode_moe_mode,
+                    prefill_moe_mode=args.prefill_moe_mode)
     gcfg = GenerationConfig(
         max_new_tokens=args.max_new_tokens,
         temperature=0.0 if args.temperature <= 0.01 else args.temperature,

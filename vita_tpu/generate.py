@@ -129,6 +129,7 @@ class Generator:
         tile_buckets: Sequence[int] = DEFAULT_TILE_BUCKETS,
         frame_buckets: Sequence[int] = DEFAULT_FRAME_BUCKETS,
         decode_moe_mode: Optional[str] = None,  # None=inherit cfg.llm.moe_mode
+        prefill_moe_mode: Optional[str] = None,  # None=inherit cfg.llm.moe_mode
     ):
         self.params = params
         self.cfg = cfg
@@ -157,6 +158,18 @@ class Generator:
         else:
             self._decode_llm = params["llm"]
 
+        # Prefill MoE dispatch over the padded prompt bucket: 'gmm' (exact,
+        # top-k-only FLOPs) or 'sort' (capacity-dropping, fastest) instead
+        # of the default dense einsums — see serve.engine and
+        # tools/bench_prefill_moe.py for the measured tradeoffs.
+        if prefill_moe_mode is None:
+            prefill_moe_mode = cfg.llm.moe_mode
+        if prefill_moe_mode not in ("dense", "capacity", "sort", "gmm"):
+            raise ValueError(f"bad prefill_moe_mode {prefill_moe_mode!r}")
+        pcfg = dataclasses.replace(
+            cfg, llm=dataclasses.replace(cfg.llm, moe_mode=prefill_moe_mode)
+        )
+
         @jax.jit
         def _prefill(params, input_ids, image_mask, audio_mask,
                      images, speech, speech_lengths, audio_select,
@@ -164,7 +177,7 @@ class Generator:
             cache = mixtral.init_kv_cache(cfg.llm, 1, max_len)
             attn_valid = jnp.arange(max_len)[None, :] < true_len[:, None]
             logits, cache, _ = vita.forward(
-                params, cfg, input_ids,
+                params, pcfg, input_ids,
                 image_mask=image_mask, audio_mask=audio_mask,
                 images=images, speech=speech, speech_lengths=speech_lengths,
                 audio_select=audio_select,
@@ -182,7 +195,7 @@ class Generator:
             cache = mixtral.init_kv_cache(cfg.llm, 1, max_len)
             attn_valid = jnp.arange(max_len)[None, :] < true_len[:, None]
             logits, cache, _ = vita.forward(
-                params, cfg, input_ids, attn_valid=attn_valid, cache=cache
+                params, pcfg, input_ids, attn_valid=attn_valid, cache=cache
             )
             last = jnp.take_along_axis(
                 logits, (true_len - 1)[:, None, None], axis=1

@@ -394,9 +394,27 @@ def forward(
         logits = x if return_hidden else x @ params["lm_head"]
         return logits, None, aux_total / cfg.n_layers
 
+    # gmm mode under lax.scan: the Pallas kernels must NOT consume the
+    # scan-sliced stacked expert weights (XLA materializes ~2.8 GB/layer
+    # as the custom-call operand — same invariant as the gather decode
+    # modes). They read uint views of the WHOLE stacked arrays reshaped
+    # [L*E, ...] with flat group ids layer*E + expert instead; the sliced
+    # weights stay in the graph only as the grad target (ops.moe_gmm.gmm_scan).
+    gmm_flat = None
+    if cfg.moe_mode == "gmm" and not isinstance(params["layers"], (list, tuple)):
+        from vita_tpu.ops.moe_gmm import as_uint_view
+
+        gmm_flat = {
+            k: as_uint_view(
+                jax.lax.stop_gradient(v).reshape((-1,) + v.shape[2:])
+            )
+            for k, v in params["layers"]["moe"].items()
+            if k != "router"
+        }
+
     def layer_fn(carry, layer_inputs):
         x, aux_sum = carry
-        lp, ck, cv = layer_inputs
+        lp, ck, cv, li = layer_inputs
         h = rms_norm(x, lp["ln_attn"], cfg.rms_eps)
         attn_out, nk, nv = _attention_block(
             lp["attn"], cfg, h, positions, attn_valid, ck, cv,
@@ -408,6 +426,7 @@ def forward(
             lp["moe"], h.reshape(b * s, d), cfg.top_k,
             mode=cfg.moe_mode, capacity_factor=cfg.moe_capacity_factor,
             token_mask=tm_flat,
+            flat=gmm_flat, group_off=li * cfg.n_experts,
         )
         x = x + moe_out.reshape(b, s, d)
         return (x, aux_sum + aux), (nk, nv)
@@ -534,15 +553,17 @@ def forward(
             else (None, None)
         )
     else:
+        nl = cfg.n_layers
+        layer_ids = jnp.arange(nl, dtype=jnp.int32)
         if cache is not None:
-            xs = (params["layers"], cache["k"], cache["v"])
+            xs = (params["layers"], cache["k"], cache["v"], layer_ids)
         else:
-            nl = cfg.n_layers
-            xs = (params["layers"], jnp.zeros((nl, 0)), jnp.zeros((nl, 0)))
+            xs = (params["layers"], jnp.zeros((nl, 0)), jnp.zeros((nl, 0)),
+                  layer_ids)
 
             def layer_fn_nocache(carry, layer_inputs):  # avoid tracing cache branch
                 x, aux_sum = carry
-                lp, _, _ = layer_inputs
+                lp, _, _, li = layer_inputs
                 h = rms_norm(x, lp["ln_attn"], cfg.rms_eps)
                 attn_out, _, _ = _attention_block(
                     lp["attn"], cfg, h, positions, attn_valid, None, None,
@@ -554,6 +575,7 @@ def forward(
                     lp["moe"], h.reshape(b * s, d), cfg.top_k,
                     mode=cfg.moe_mode, capacity_factor=cfg.moe_capacity_factor,
                     token_mask=tm_flat,
+                    flat=gmm_flat, group_off=li * cfg.n_experts,
                 )
                 x = x + moe_out.reshape(b, s, d)
                 return (x, aux_sum + aux), (None, None)

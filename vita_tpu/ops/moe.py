@@ -103,8 +103,13 @@ def moe_ffn(
     mode: str = "dense",
     capacity_factor: float = 1.25,
     token_mask: Optional[jnp.ndarray] = None,
+    flat: Optional[dict] = None,
+    group_off=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (output [T, D], aux_loss scalar)."""
+    """Returns (output [T, D], aux_loss scalar).
+
+    ``flat``/``group_off`` (gmm mode only): scan-safe stacked-weight views
+    — see ops.moe_gmm.gmm_scan."""
     t, d = x.shape
     e = params["w_gate"].shape[0]
     router_logits = jnp.einsum(
@@ -156,7 +161,8 @@ def moe_ffn(
         # scatter with straight-line matmuls (SURVEY hard part #1).
         from vita_tpu.ops.moe_gmm import moe_ffn_gmm
 
-        out = moe_ffn_gmm(params, x, topk_w, topk_i)
+        out = moe_ffn_gmm(params, x, topk_w, topk_i, flat=flat,
+                          group_off=group_off)
         return out.astype(x.dtype), aux
 
     if mode == "sort":

@@ -195,6 +195,7 @@ class Engine:
         max_len: int = 4096,
         seed: int = 0,
         decode_moe_mode: Optional[str] = None,  # None=inherit cfg.llm.moe_mode
+        prefill_moe_mode: Optional[str] = None,  # None=inherit cfg.llm.moe_mode
         page_size: int = 64,
         total_pages: Optional[int] = None,  # default: n_slots * max_len / page
         prefill_chunk: int = 256,
@@ -235,6 +236,24 @@ class Engine:
         if decode_moe_mode not in ("dense", "capacity", "sort", "gather", "gather_q", "gather_q4"):
             raise ValueError(f"bad decode_moe_mode {decode_moe_mode!r}")
         self._decode_cfg = dataclasses.replace(cfg.llm, moe_mode=decode_moe_mode)
+        # Prefill MoE dispatch (multi-token chunks; the decode gather
+        # kernels are single-token-row and do not apply). 'gmm' runs only
+        # the routed top-k pairs as grouped MXU tiles — exact like dense
+        # with ~4x fewer MoE FLOPs, measured worthwhile for long-prompt
+        # chunks (tools/bench_prefill_moe.py); 'sort' is faster still but
+        # capacity-dropping (not bit-exact vs the reference's dense path).
+        if prefill_moe_mode is None:
+            prefill_moe_mode = cfg.llm.moe_mode
+        if prefill_moe_mode not in ("dense", "capacity", "sort", "gmm"):
+            raise ValueError(f"bad prefill_moe_mode {prefill_moe_mode!r}")
+        if mesh is not None and prefill_moe_mode in ("sort", "gmm"):
+            raise ValueError(
+                "sort/gmm prefill dispatch is single-chip only; sharded "
+                "serving prefills with dense/capacity (GSPMD einsums)"
+            )
+        self._prefill_llm_cfg = dataclasses.replace(
+            cfg.llm, moe_mode=prefill_moe_mode
+        )
         if decode_moe_mode in ("gather_q", "gather_q4"):
             self._decode_llm = mixtral.quantize_moe_for_decode(
                 params["llm"], bits=4 if decode_moe_mode == "gather_q4" else 8
@@ -502,7 +521,8 @@ class Engine:
             jnp.asarray([job.req.temperature], jnp.float32),
             jnp.asarray([job.req.top_k], jnp.int32),
             jnp.asarray([job.req.top_p], jnp.float32),
-            self._key, llm=self.cfg.llm, chunk=job.chunk, mesh=self.mesh,
+            self._key, llm=self._prefill_llm_cfg, chunk=job.chunk,
+            mesh=self.mesh,
         )
         job.offset += job.chunk
         if job.offset < min(-(-job.true_len // job.chunk) * job.chunk, job.bucket):
