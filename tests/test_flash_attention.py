@@ -161,3 +161,51 @@ def test_mixtral_flash_backend_decode():
         lt, cache, _ = mx.forward(params, cfg_f, input_ids=ids[:, 4:5], cache=cache)
     np.testing.assert_allclose(np.asarray(lp), np.asarray(full[:, :4]), rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(lt[:, 0]), np.asarray(full[:, 4]), rtol=2e-3, atol=2e-3)
+
+
+def test_flash_with_lse_matches_xla():
+    """(out, lse) variant: out equals flash_mha, lse equals the XLA
+    logsumexp of the scaled+masked logits; grads flow through BOTH
+    outputs (the dlse cotangent folds into the bwd delta term) — the
+    building block of ring attention's cross-shard merge."""
+    from vita_tpu.ops.flash_attention import flash_mha_with_lse
+
+    b, s, h, d = 2, 128, 4, 32
+    q, k, v = _rand((b, s, h, d), 0), _rand((b, s, h, d), 1), _rand((b, s, h, d), 2)
+    kv_len = jnp.array([s, s - 37])
+    scale = d**-0.5
+
+    def ref_out_lse(q, k, v):
+        logits = jnp.einsum("bshd,bthd->bhst", q, k) * scale
+        k_pos = jnp.arange(s)[None, None, None, :]
+        mask = (k_pos < kv_len[:, None, None, None]) & (
+            k_pos <= jnp.arange(s)[None, None, :, None]
+        )
+        logits = jnp.where(mask, logits, -1e30)
+        lse = jax.scipy.special.logsumexp(logits, axis=-1)
+        p = jnp.exp(logits - lse[..., None])
+        return jnp.einsum("bhst,bthd->bshd", p, v), lse
+
+    with pltpu.force_tpu_interpret_mode():
+        out, lse = flash_mha_with_lse(q, k, v, kv_len=kv_len, causal=True)
+    out_r, lse_r = ref_out_lse(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_r),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(lse_r),
+                               rtol=2e-5, atol=2e-5)
+
+    # loss using BOTH outputs — exercises the dlse path
+    def loss_flash(q, k, v):
+        o, l = flash_mha_with_lse(q, k, v, kv_len=kv_len, causal=True)
+        return jnp.sum(o**2) + jnp.sum(jnp.sin(l))
+
+    def loss_ref(q, k, v):
+        o, l = ref_out_lse(q, k, v)
+        return jnp.sum(o**2) + jnp.sum(jnp.sin(l))
+
+    with pltpu.force_tpu_interpret_mode():
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=5e-5, atol=5e-5)

@@ -305,7 +305,8 @@ def _bwd_dkv_kernel(
         dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
-def _flash_bwd(res, g, causal, scale, block_q, block_k, hq, hkv):
+def _flash_bwd(res, g, causal, scale, block_q, block_k, hq, hkv,
+               dlse_row=None):
     q, k, v, o, lse, kv_len, q_offset = res
     do = g
     bh, sq, d = q.shape
@@ -316,6 +317,11 @@ def _flash_bwd(res, g, causal, scale, block_q, block_k, hq, hkv):
     nq = _blocks(sq, bq)
 
     delta_row = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    if dlse_row is not None:
+        # lse-output cotangent: d s_ij += p_ij * dlse_i, and the kernels
+        # compute ds = p * (dp - delta), so fold it into delta. Rows whose
+        # lse is -inf (fully masked) contribute nothing (p = 0 everywhere).
+        delta_row = delta_row - dlse_row.astype(jnp.float32)
     delta = jnp.broadcast_to(delta_row[:, None, :], (bh, 8, delta_row.shape[1]))
 
     def kv_row(bh_idx):
@@ -408,6 +414,41 @@ def _flash_core_bwd(causal, scale, block_q, block_k, hq, hkv, res, g):
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10)
+)
+def _flash_core_lse(q, k, v, kv_len, q_offset, causal, scale, block_q,
+                    block_k, hq, hkv):
+    """Like _flash_core but also returns the per-row log-sum-exp
+    [bh, 8, sq] (row 0 carries data). Differentiable in q/k/v INCLUDING
+    the lse output — the dlse cotangent folds into the bwd kernels' delta
+    term (d s_ij += p_ij * dlse_i, and ds = p*(dp - delta), so
+    delta' = delta - dlse). Fully-masked rows have lse = -inf; their
+    cotangent must be zero (softmax partials there are 0/0)."""
+    return _flash_fwd(q, k, v, kv_len, q_offset, causal, scale, block_q,
+                      block_k, hq, hkv)
+
+
+def _flash_core_lse_fwd(q, k, v, kv_len, q_offset, causal, scale, block_q,
+                        block_k, hq, hkv):
+    o, lse = _flash_fwd(q, k, v, kv_len, q_offset, causal, scale, block_q,
+                        block_k, hq, hkv)
+    return (o, lse), (q, k, v, o, lse, kv_len, q_offset)
+
+
+def _flash_core_lse_bwd(causal, scale, block_q, block_k, hq, hkv, res, g):
+    do, dlse = g
+    q, k, v, o, lse, kv_len, q_offset = res
+    dq, dk, dv = _flash_bwd(
+        (q, k, v, o, lse, kv_len, q_offset), do, causal, scale, block_q,
+        block_k, hq, hkv, dlse_row=dlse[:, 0, :],
+    )
+    return dq, dk, dv, None, None
+
+
+_flash_core_lse.defvjp(_flash_core_lse_fwd, _flash_core_lse_bwd)
+
+
 def flash_mha(
     q: jnp.ndarray,  # [B, Sq, Hq, D]
     k: jnp.ndarray,  # [B, Skv, Hkv, D]
@@ -458,3 +499,54 @@ def flash_mha(
         causal, float(scale), bq_eff, bk_eff, hq, hkv,
     )
     return o[:, :sq].reshape(b, hq, sq, d).transpose(0, 2, 1, 3)
+
+
+def flash_mha_with_lse(
+    q: jnp.ndarray,  # [B, Sq, Hq, D]
+    k: jnp.ndarray,  # [B, Skv, Hkv, D]
+    v: jnp.ndarray,
+    kv_len: Optional[jnp.ndarray] = None,  # [B] valid kv lengths
+    q_offset: int | jnp.ndarray = 0,
+    causal: bool = False,
+    scale: Optional[float] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """flash_mha that also returns the log-sum-exp of the (scaled, masked)
+    attention logits per query row: (out [B, Sq, Hq, D], lse [B, Hq, Sq],
+    fp32; -inf for fully-masked rows). Differentiable in q/k/v through
+    BOTH outputs — the building block for ring attention's online-softmax
+    merge across sequence shards (parallel/ring_attention.py)."""
+    b, sq, hq, d = q.shape
+    hkv = k.shape[2]
+    skv = k.shape[1]
+    if hq % hkv != 0:
+        raise ValueError(f"q heads ({hq}) must be a multiple of kv heads ({hkv})")
+    scale = scale if scale is not None else d**-0.5
+
+    if kv_len is None:
+        kv_len = jnp.full((b,), skv, jnp.int32)
+    kv_len = kv_len.astype(jnp.int32)
+    q_offset = jnp.asarray(q_offset, jnp.int32)
+    if q_offset.ndim == 0:
+        q_offset = jnp.full((b,), q_offset, jnp.int32)
+
+    bq_eff = min(block_q, max(sq, 8))
+    bk_eff = min(block_k, max(skv, 8))
+    sq_pad = _blocks(sq, bq_eff) * bq_eff
+    skv_pad = _blocks(skv, bk_eff) * bk_eff
+
+    def to_bh(x, target_len):
+        h = x.shape[2]
+        x = x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d)
+        if x.shape[1] < target_len:
+            x = jnp.pad(x, ((0, 0), (0, target_len - x.shape[1]), (0, 0)))
+        return x
+
+    o, lse = _flash_core_lse(
+        to_bh(q, sq_pad), to_bh(k, skv_pad), to_bh(v, skv_pad), kv_len,
+        q_offset, causal, float(scale), bq_eff, bk_eff, hq, hkv,
+    )
+    out = o[:, :sq].reshape(b, hq, sq, d).transpose(0, 2, 1, 3)
+    lse_rows = lse[:, 0, :sq].reshape(b, hq, sq)
+    return out, lse_rows

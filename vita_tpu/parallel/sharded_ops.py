@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from vita_tpu.parallel.mesh import EXPERT, MODEL
+from vita_tpu.parallel.mesh import EXPERT, MODEL, SEQ
 
 
 def _axis(mesh: Optional[Mesh], name: str) -> int:
@@ -110,6 +110,20 @@ def sharded_flash_mha(
     mesh: Optional[Mesh] = None,
 ) -> jnp.ndarray:
     from vita_tpu.ops.flash_attention import flash_mha
+
+    sp = _axis(mesh, SEQ)
+    if sp > 1:
+        # Sequence parallelism: the cacheless training/prefill path (q
+        # positions start at 0, Sq == Skv) runs the exact ring schedule
+        # over the 'seq' axis, composed with 'model' head sharding.
+        from vita_tpu.parallel.ring_attention import ring_flash_mha
+
+        if q.shape[1] != k.shape[1]:
+            raise ValueError(
+                "seq-parallel attention supports the cacheless path only "
+                "(Sq == Skv); KV-cache decode/prefill needs seq axis 1"
+            )
+        return ring_flash_mha(q, k, v, kv_len, causal=causal, mesh=mesh)
 
     tp = _axis(mesh, MODEL)
     if tp == 1:

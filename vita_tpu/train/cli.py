@@ -36,8 +36,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--max-patches", type=int, default=12)
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--mesh", type=int, nargs="+", default=None,
-                   help="mesh shape: data fsdp expert model [pipe]; a pipe "
-                        "size > 1 enables GPipe pipeline parallelism")
+                   help="mesh shape: data fsdp expert model [pipe [seq]]; "
+                        "pipe > 1 enables GPipe pipeline parallelism, "
+                        "seq > 1 enables ring-attention sequence "
+                        "parallelism (batch seq length must divide by it; "
+                        "requires the flash attention backend)")
     p.add_argument("--pipe-microbatches", type=int, default=4,
                    help="GPipe microbatches when the mesh has pipe > 1")
     p.add_argument("--moe-mode", default=None,
