@@ -129,3 +129,51 @@ def test_pp_and_serving_mesh_coexist(tiny, ep_mesh):
         params, specs,
     )
     assert jax.tree.all(jax.tree.map(lambda a: a.size >= 0, put))
+
+
+def test_mesh_engine_inherited_training_modes(tiny, ep_mesh):
+    """Regression: a checkpoint whose config carries a training dispatch
+    mode must still serve sharded — inherited 'sort' prefills with sort
+    (GSPMD ops), inherited 'gmm' falls back to dense; only an EXPLICIT
+    gmm prefill request is an error under a mesh."""
+    import dataclasses
+
+    from vita_tpu.serve.engine import Engine
+
+    cfg, params = tiny
+    for mode, want_prefill in (("sort", "sort"), ("gmm", "dense")):
+        c = dataclasses.replace(
+            cfg, llm=dataclasses.replace(cfg.llm, moe_mode=mode))
+        eng = Engine(params, c, n_slots=1, max_len=64, mesh=ep_mesh,
+                     decode_moe_mode="gather")
+        assert eng._prefill_llm_cfg.moe_mode == want_prefill
+
+    with pytest.raises(ValueError, match="single-chip"):
+        Engine(params, cfg, n_slots=1, max_len=64, mesh=ep_mesh,
+               prefill_moe_mode="gmm")
+
+
+def test_gmm_trained_checkpoint_serves(tiny):
+    """A config with moe_mode='gmm' (training dispatch) must be servable:
+    decode inherits the gather kernel path, prefill keeps gmm."""
+    import dataclasses
+
+    import numpy as np
+
+    from vita_tpu.generate import GenerationConfig, Generator
+    from vita_tpu.serve.engine import Engine, Request
+
+    cfg, params = tiny
+    c = dataclasses.replace(cfg, llm=dataclasses.replace(cfg.llm, moe_mode="gmm"))
+    gen = Generator(params, c, max_len=64)
+    assert gen._decode_cfg.moe_mode == "gather"
+    prompt = np.array([1, 50, 60, 70], np.int32)
+    toks = gen.generate(prompt, gen=GenerationConfig(max_new_tokens=4, eos_id=-1))
+    assert len(toks) == 4
+
+    eng = Engine(params, c, n_slots=1, max_len=64)
+    assert eng._decode_cfg.moe_mode == "gather"
+    req = Request(input_ids=prompt, max_new_tokens=4, eos_id=-1)
+    eng.submit(req)
+    eng.run_until_idle()
+    assert req.tokens == toks

@@ -26,21 +26,26 @@ N_SMALL, N_LARGE = 16, 64
 
 def time_mode(params, cfg, x, cache_len):
     @jax.jit
-    def prefill(params, ids):
+    def prefill(params, ids, tok):
+        # feed the previous call's token into the ids so chained calls
+        # carry a data dependency (CLAUDE.md: only the final readback
+        # synchronizes on axon; unchained dispatches would not be timed)
+        ids = ids.at[0, 0].set(jnp.maximum(tok[0], 1))
         cache = mixtral.init_kv_cache(cfg, 1, cache_len)
         logits, cache, _ = mixtral.forward(
             params, cfg, input_ids=ids, cache=cache
         )
         return jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
 
-    tok = prefill(params, x)
+    tok = prefill(params, x, jnp.ones((1,), jnp.int32))
     _ = int(tok[0])  # compile + warm
 
     def run(n):
+        t = tok
         t0 = time.time()
         for _ in range(n):
-            tok = prefill(params, x)
-        _ = int(tok[0])
+            t = prefill(params, x, t)
+        _ = int(t[0])
         return time.time() - t0
 
     run(N_SMALL)

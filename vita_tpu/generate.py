@@ -147,7 +147,12 @@ class Generator:
         # Decode MoE path (same options as serve.engine): 'gather'/'gather_q'
         # read only the selected experts via the Pallas kernels.
         if decode_moe_mode is None:
-            decode_moe_mode = cfg.llm.moe_mode
+            # 'gmm' is a training/prefill dispatch (multi-token tiles);
+            # a gmm-trained checkpoint decodes via the selected-expert
+            # gather kernel (identical outputs, single-token-row layout)
+            decode_moe_mode = (
+                "gather" if cfg.llm.moe_mode == "gmm" else cfg.llm.moe_mode
+            )
         if decode_moe_mode not in ("dense", "capacity", "sort", "gather", "gather_q", "gather_q4"):
             raise ValueError(f"bad decode_moe_mode {decode_moe_mode!r}")
         self._decode_cfg = dataclasses.replace(cfg.llm, moe_mode=decode_moe_mode)

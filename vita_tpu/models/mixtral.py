@@ -365,6 +365,14 @@ def forward(
                 "pipe_stages > 1 supports the cacheless stacked-layer "
                 "training/prefill path only (no KV cache, no gather decode)"
             )
+        if cfg.moe_mode == "gmm":
+            raise ValueError(
+                "moe_mode='gmm' is not supported with pipeline parallelism:"
+                " inside the pipeline's layer scan the Pallas kernels would"
+                " consume scan-sliced stacked expert weights (a ~2.8 GB"
+                " copy per layer at production shape); use 'sort' or"
+                " 'capacity' with pipe_stages > 1"
+            )
         if mesh is None:
             raise ValueError("pipe_stages > 1 requires forward(..., mesh=...)")
         from vita_tpu.parallel.pipeline import pipeline_layer_stack

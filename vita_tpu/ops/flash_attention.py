@@ -152,8 +152,11 @@ def _flash_fwd(q, k, v, kv_len, q_offset, causal, scale, block_q, block_k, hq, h
         # still prefetches the repeated block — but it is correct, free,
         # and positions the kernel for DMA elision.
         def kv_index(b, i, j, kv_len_ref, q_off_ref):
+            # clamp at 0: q_offset can be NEGATIVE (ring attention passes
+            # fully-future KV blocks whose compute is predicated off) and
+            # a negative block index would be an out-of-bounds fetch
             last_needed = (i * block_q + block_q - 1 + q_off_ref[b // hq]) // block_k
-            return (kv_row(b), jnp.minimum(j, last_needed), 0)
+            return (kv_row(b), jnp.clip(last_needed, 0, j), 0)
     else:
         def kv_index(b, i, j, *_):
             return (kv_row(b), j, 0)
@@ -449,6 +452,43 @@ def _flash_core_lse_bwd(causal, scale, block_q, block_k, hq, hkv, res, g):
 _flash_core_lse.defvjp(_flash_core_lse_fwd, _flash_core_lse_bwd)
 
 
+def _prep_flash_call(q, k, v, kv_len, q_offset, scale, block_q, block_k):
+    """Shared wrapper prologue: validation, kv_len/q_offset normalization,
+    block sizing, [B*H, S, D] packing. Returns the positional operand
+    tuple for _flash_core / _flash_core_lse plus (b, sq, hq, d)."""
+    b, sq, hq, d = q.shape
+    hkv = k.shape[2]
+    skv = k.shape[1]
+    if hq % hkv != 0:
+        raise ValueError(f"q heads ({hq}) must be a multiple of kv heads ({hkv})")
+    scale = scale if scale is not None else d**-0.5
+
+    if kv_len is None:
+        kv_len = jnp.full((b,), skv, jnp.int32)
+    kv_len = kv_len.astype(jnp.int32)
+    q_offset = jnp.asarray(q_offset, jnp.int32)
+    if q_offset.ndim == 0:
+        q_offset = jnp.full((b,), q_offset, jnp.int32)
+
+    # pad sequence dims to block multiples (k padding is masked via kv_len;
+    # padded q rows are sliced away by the caller)
+    bq_eff = min(block_q, max(sq, 8))
+    bk_eff = min(block_k, max(skv, 8))
+    sq_pad = _blocks(sq, bq_eff) * bq_eff
+    skv_pad = _blocks(skv, bk_eff) * bk_eff
+
+    def to_bh(x, target_len):
+        h = x.shape[2]
+        x = x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d)
+        if x.shape[1] < target_len:
+            x = jnp.pad(x, ((0, 0), (0, target_len - x.shape[1]), (0, 0)))
+        return x
+
+    operands = (to_bh(q, sq_pad), to_bh(k, skv_pad), to_bh(v, skv_pad),
+                kv_len, q_offset)
+    return operands, float(scale), bq_eff, bk_eff, hkv, (b, sq, hq, d)
+
+
 def flash_mha(
     q: jnp.ndarray,  # [B, Sq, Hq, D]
     k: jnp.ndarray,  # [B, Skv, Hkv, D]
@@ -466,38 +506,10 @@ def flash_mha(
         raise NotImplementedError(
             "flash backend supports causal+kv_len masking, not arbitrary bias"
         )
-    b, sq, hq, d = q.shape
-    hkv = k.shape[2]
-    skv = k.shape[1]
-    if hq % hkv != 0:
-        raise ValueError(f"q heads ({hq}) must be a multiple of kv heads ({hkv})")
-    scale = scale if scale is not None else d**-0.5
-
-    if kv_len is None:
-        kv_len = jnp.full((b,), skv, jnp.int32)
-    kv_len = kv_len.astype(jnp.int32)
-    q_offset = jnp.asarray(q_offset, jnp.int32)
-    if q_offset.ndim == 0:
-        q_offset = jnp.full((b,), q_offset, jnp.int32)
-
-    # pad sequence dims to block multiples (k padding is masked via kv_len;
-    # padded q rows are sliced away below)
-    bq_eff = min(block_q, max(sq, 8))
-    bk_eff = min(block_k, max(skv, 8))
-    sq_pad = _blocks(sq, bq_eff) * bq_eff
-    skv_pad = _blocks(skv, bk_eff) * bk_eff
-
-    def to_bh(x, target_len):
-        h = x.shape[2]
-        x = x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d)
-        if x.shape[1] < target_len:
-            x = jnp.pad(x, ((0, 0), (0, target_len - x.shape[1]), (0, 0)))
-        return x
-
-    o = _flash_core(
-        to_bh(q, sq_pad), to_bh(k, skv_pad), to_bh(v, skv_pad), kv_len, q_offset,
-        causal, float(scale), bq_eff, bk_eff, hq, hkv,
+    operands, scale, bq_eff, bk_eff, hkv, (b, sq, hq, d) = _prep_flash_call(
+        q, k, v, kv_len, q_offset, scale, block_q, block_k
     )
+    o = _flash_core(*operands, causal, scale, bq_eff, bk_eff, hq, hkv)
     return o[:, :sq].reshape(b, hq, sq, d).transpose(0, 2, 1, 3)
 
 
@@ -517,36 +529,10 @@ def flash_mha_with_lse(
     fp32; -inf for fully-masked rows). Differentiable in q/k/v through
     BOTH outputs — the building block for ring attention's online-softmax
     merge across sequence shards (parallel/ring_attention.py)."""
-    b, sq, hq, d = q.shape
-    hkv = k.shape[2]
-    skv = k.shape[1]
-    if hq % hkv != 0:
-        raise ValueError(f"q heads ({hq}) must be a multiple of kv heads ({hkv})")
-    scale = scale if scale is not None else d**-0.5
-
-    if kv_len is None:
-        kv_len = jnp.full((b,), skv, jnp.int32)
-    kv_len = kv_len.astype(jnp.int32)
-    q_offset = jnp.asarray(q_offset, jnp.int32)
-    if q_offset.ndim == 0:
-        q_offset = jnp.full((b,), q_offset, jnp.int32)
-
-    bq_eff = min(block_q, max(sq, 8))
-    bk_eff = min(block_k, max(skv, 8))
-    sq_pad = _blocks(sq, bq_eff) * bq_eff
-    skv_pad = _blocks(skv, bk_eff) * bk_eff
-
-    def to_bh(x, target_len):
-        h = x.shape[2]
-        x = x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d)
-        if x.shape[1] < target_len:
-            x = jnp.pad(x, ((0, 0), (0, target_len - x.shape[1]), (0, 0)))
-        return x
-
-    o, lse = _flash_core_lse(
-        to_bh(q, sq_pad), to_bh(k, skv_pad), to_bh(v, skv_pad), kv_len,
-        q_offset, causal, float(scale), bq_eff, bk_eff, hq, hkv,
+    operands, scale, bq_eff, bk_eff, hkv, (b, sq, hq, d) = _prep_flash_call(
+        q, k, v, kv_len, q_offset, scale, block_q, block_k
     )
+    o, lse = _flash_core_lse(*operands, causal, scale, bq_eff, bk_eff, hq, hkv)
     out = o[:, :sq].reshape(b, hq, sq, d).transpose(0, 2, 1, 3)
     lse_rows = lse[:, 0, :sq].reshape(b, hq, sq)
     return out, lse_rows

@@ -232,7 +232,11 @@ class Engine:
         # Decode MoE path: 'gather' reads only the selected experts;
         # 'gather_q' additionally keeps an int8 expert copy (2x less HBM).
         if decode_moe_mode is None:
-            decode_moe_mode = cfg.llm.moe_mode
+            # gmm is a training/prefill dispatch; gmm-trained checkpoints
+            # decode via the selected-expert gather kernel
+            decode_moe_mode = (
+                "gather" if cfg.llm.moe_mode == "gmm" else cfg.llm.moe_mode
+            )
         if decode_moe_mode not in ("dense", "capacity", "sort", "gather", "gather_q", "gather_q4"):
             raise ValueError(f"bad decode_moe_mode {decode_moe_mode!r}")
         self._decode_cfg = dataclasses.replace(cfg.llm, moe_mode=decode_moe_mode)
@@ -242,15 +246,21 @@ class Engine:
         # with ~4x fewer MoE FLOPs, measured worthwhile for long-prompt
         # chunks (tools/bench_prefill_moe.py); 'sort' is faster still but
         # capacity-dropping (not bit-exact vs the reference's dense path).
+        # The gmm Pallas kernel is single-chip: explicitly requesting it
+        # with a mesh is an error; an INHERITED gmm quietly falls back to
+        # dense (sort/capacity/dense are XLA ops, GSPMD-shardable).
+        if prefill_moe_mode is not None and mesh is not None \
+                and prefill_moe_mode == "gmm":
+            raise ValueError(
+                "gmm prefill dispatch is single-chip only; sharded "
+                "serving prefills with dense/capacity/sort (GSPMD ops)"
+            )
         if prefill_moe_mode is None:
             prefill_moe_mode = cfg.llm.moe_mode
+            if prefill_moe_mode == "gmm" and mesh is not None:
+                prefill_moe_mode = "dense"
         if prefill_moe_mode not in ("dense", "capacity", "sort", "gmm"):
             raise ValueError(f"bad prefill_moe_mode {prefill_moe_mode!r}")
-        if mesh is not None and prefill_moe_mode in ("sort", "gmm"):
-            raise ValueError(
-                "sort/gmm prefill dispatch is single-chip only; sharded "
-                "serving prefills with dense/capacity (GSPMD einsums)"
-            )
         self._prefill_llm_cfg = dataclasses.replace(
             cfg.llm, moe_mode=prefill_moe_mode
         )

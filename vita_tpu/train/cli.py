@@ -142,6 +142,16 @@ def main(argv: Optional[List[str]] = None) -> int:
         cfg = _dc.replace(cfg, llm=_dc.replace(
             cfg.llm, pipe_stages=mesh.shape["pipe"],
             pipe_microbatches=args.pipe_microbatches))
+    if mesh is not None and mesh.shape["seq"] > 1 \
+            and cfg.llm.attn_backend != "flash":
+        # ring attention's only entry point is the flash-backend dispatch;
+        # the xla backend would silently ignore the seq axis (and its
+        # [B,S,S] bias defeats the long-context memory win seq exists for)
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, llm=_dc.replace(cfg.llm, attn_backend="flash"))
+        print("[mesh] seq > 1: switching LLM attention backend to 'flash' "
+              "(ring-attention sequence parallelism)")
     run = RunConfig(
         output_dir=args.output_dir,
         batch_size=args.batch_size,
