@@ -381,6 +381,13 @@ def test_engine_multimodal_request_matches_generator(tiny):
 
 def test_engine_prefill_compile_cache_bounded(tiny):
     """Random prompt lengths compile at most one program per bucket."""
+    from vita_tpu.serve import engine as engine_mod
+
+    # the program caches are module-global (shared across engines AND
+    # earlier tests' engines with different static configs) — reset so
+    # the bound below measures THIS engine's bucket behavior
+    engine_mod._prefill_chunk_fn.clear_cache()
+    engine_mod._embed_text.clear_cache()
     cfg, params = tiny
     eng = Engine(params, cfg, n_slots=1, max_len=64, page_size=8,
                  decode_chunk_len=2, prefill_chunk=8, prompt_buckets=(8, 16, 32))
@@ -462,3 +469,54 @@ def test_session_cache_evicted_under_page_pressure(tiny):
     eng.run_until_idle()
     assert len(r2.tokens) == 10
     assert eng.stats()["cached_prefixes"] == 0  # evicted to make room
+
+
+def test_session_prefix_after_early_finish_is_safe(tiny):
+    """A turn that finishes on the prefill's early first-token emission
+    (max_new_tokens=1: no decode chunk ever runs) must not advertise the
+    final token's UNWRITTEN KV row to the next turn's prefix reuse —
+    outputs must equal a cold engine."""
+    cfg, params = tiny
+    kw = dict(n_slots=1, max_len=512, page_size=8, decode_chunk_len=2,
+              prefill_chunk=8, prompt_buckets=(16, 32, 96))
+    # 15-id prompt: prefill writes rows 0-14; caching prompt+tok0 (16 ids)
+    # would chunk-align the reuse offset to 16 and include the unwritten
+    # row 15 — exactly the case the tokens[:-1] cache exclusion guards
+    base = np.concatenate([[1], np.arange(10, 24, dtype=np.int32)])  # 15 ids
+
+    def run_two_turns(session):
+        eng = Engine(params, cfg, **kw)
+        r1 = Request(input_ids=base, max_new_tokens=1, eos_id=-1,
+                     session_key="s" if session else None)
+        eng.submit(r1)
+        eng.run_until_idle()
+        # turn 2 replays turn 1 + answer + new question (history replay)
+        ids2 = np.concatenate([base, np.asarray(r1.tokens, np.int32),
+                               np.arange(40, 60, dtype=np.int32)])
+        r2 = Request(input_ids=ids2, max_new_tokens=6, eos_id=-1,
+                     session_key="s" if session else None)
+        eng.submit(r2)
+        eng.run_until_idle()
+        return r1.tokens, r2.tokens
+
+    t1_cold, t2_cold = run_two_turns(session=False)
+    t1_sess, t2_sess = run_two_turns(session=True)
+    assert t1_sess == t1_cold
+    assert t2_sess == t2_cold
+
+
+def test_cache_full_uses_true_position(tiny):
+    """cache_full must fire from the request's true filled rows, not the
+    speculative dispatch cursor (~2 chunks ahead): a request sized to
+    exactly fit max_len gets ALL its tokens with finish reason 'length'."""
+    cfg, params = tiny
+    eng = Engine(params, cfg, n_slots=1, max_len=64, page_size=8,
+                 decode_chunk_len=8, prefill_chunk=8, prompt_buckets=(32,))
+    reasons = []
+    ids = np.concatenate([[1], np.arange(10, 41, dtype=np.int32)])  # 32 ids
+    r = Request(input_ids=ids, max_new_tokens=32, eos_id=-1,
+                on_finish=lambda toks, reason: reasons.append(reason))
+    eng.submit(r)
+    eng.run_until_idle()
+    assert len(r.tokens) == 32, f"truncated to {len(r.tokens)}"
+    assert reasons == ["length"]

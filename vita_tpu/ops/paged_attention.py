@@ -97,7 +97,12 @@ def _paged_attn_kernel(
     kvh = pl.program_id(1)
     layer = layer_ref[0]
     length = lengths_ref[slot]
-    n_pages = (length + page_size - 1) // page_size
+    # clamp to the table width: a speculative chunk can advance a slot's
+    # length past its allocation, and reading tables_ref[slot, i] beyond
+    # the row would be an out-of-bounds SMEM access
+    n_pages = jnp.minimum(
+        (length + page_size - 1) // page_size, tables_ref.shape[1]
+    )
 
     n_pool = kp_hbm.shape[2]
 
@@ -278,8 +283,15 @@ def write_kv_rows(
     page_size = k_pages.shape[3]
     b = pos.shape[0]
     slot_page = pos // page_size  # [B] index into each slot's table
-    page_id = jnp.take_along_axis(tables, slot_page[:, None], axis=1)[:, 0]
+    page_id = jnp.take_along_axis(
+        tables, jnp.clip(slot_page, 0, tables.shape[1] - 1)[:, None], axis=1
+    )[:, 0]
     row = pos % page_size
+    # speculative overshoot PAST the table itself (a request whose
+    # allocation fills the whole row leaves no OOB sentinel entries):
+    # gather clamping would silently rewrite the slot's LAST page at wrong
+    # rows — force-drop instead
+    page_id = jnp.where(slot_page < tables.shape[1], page_id, k_pages.shape[2])
     if active is not None:
         page_id = jnp.where(active, page_id, k_pages.shape[2])  # OOB => drop
     # all-advanced adjacent indices of shape [B, Hkv] => update shape

@@ -121,12 +121,16 @@ def _embed_media(params, cfg, ids, im, am, images, speech, sl, audio_select):
 
 
 @functools.partial(
-    jax.jit, donate_argnames=("sk", "sv"), static_argnames=("llm", "chunk", "mesh")
+    jax.jit, donate_argnames=("sk", "sv"),
+    static_argnames=("llm", "chunk", "mesh", "mode"),
 )
 def _prefill_chunk_fn(llm_params, sk, sv, embeds, offset, true_len,
-                      temp, tk, tp, key, *, llm, chunk, mesh=None):
+                      temp, tk, tp, key, *, llm, chunk, mesh=None,
+                      mode="filtered"):
     """One prefill chunk into the linear scratch; samples the first token
-    from the row holding position true_len-1 (valid on the last chunk)."""
+    from the row holding position true_len-1 (valid on the last chunk).
+    ``mode`` is the request's static sampling tier (greedy requests must
+    not pay the full-vocab sort — CLAUDE.md decode perf rule)."""
     p_len, d = embeds.shape[1], embeds.shape[2]
     x = jax.lax.dynamic_slice(embeds, (0, offset, 0), (1, chunk, d))
     c = {"k": sk, "v": sv, "pos": offset[None]}
@@ -140,7 +144,7 @@ def _prefill_chunk_fn(llm_params, sk, sv, embeds, offset, true_len,
     h = jax.lax.dynamic_slice(hidden, (0, row, 0), (1, 1, d))[:, 0]
     logits = h @ llm_params["lm_head"]
     key, sub = jax.random.split(key)
-    tok = sample_tokens(logits, sub, temp, tk, tp)
+    tok = sample_tokens(logits, sub, temp, tk, tp, mode=mode)
     return nc["k"], nc["v"], tok, key
 
 
@@ -182,6 +186,7 @@ class _PrefillJob:
     sk: Any = None  # scratch kv [L, 1, P, Hkv, hd]
     sv: Any = None
     tok: Any = None  # sampled first token (device) after last chunk
+    mode: str = "filtered"  # static sampling tier for this request
 
 
 class Engine:
@@ -291,26 +296,33 @@ class Engine:
         if total_pages is None:
             total_pages = n_slots * self.max_pages_per_slot
         self.total_pages = total_pages
-        pool = init_page_pool(
-            llm.n_layers, llm.n_kv_heads, total_pages, page_size, llm.head_dim,
-            dtype=llm.dtype,
-        )
         self.alloc = PagePool(total_pages)
         self._table_np = np.zeros((n_slots, self.max_pages_per_slot), np.int32)
+        if mesh is not None:
+            # allocate the pool UNDER the target sharding: at deployment
+            # scale the whole pool does not fit one device's HBM, so a
+            # default-device jnp.zeros + reshard would OOM before the put
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            kv_spec = NamedSharding(mesh, P(None, "model", None, None, None))
+            pool = jax.jit(
+                functools.partial(
+                    init_page_pool, llm.n_layers, llm.n_kv_heads,
+                    total_pages, page_size, llm.head_dim, dtype=llm.dtype,
+                ),
+                out_shardings={"k_pages": kv_spec, "v_pages": kv_spec},
+            )()
+        else:
+            pool = init_page_pool(
+                llm.n_layers, llm.n_kv_heads, total_pages, page_size,
+                llm.head_dim, dtype=llm.dtype,
+            )
+        # decode gathers table/pos per-tick from the host-side state
+        # (_table_np / self.pos); no device-resident copies to keep in sync
         self.cache = {
             "k_pages": pool["k_pages"],
             "v_pages": pool["v_pages"],
-            "table": jnp.asarray(self._table_np),
-            "pos": jnp.zeros((n_slots,), jnp.int32),
         }
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            kv_spec = P(None, "model", None, None, None)
-            self.cache["k_pages"] = jax.device_put(
-                self.cache["k_pages"], NamedSharding(mesh, kv_spec))
-            self.cache["v_pages"] = jax.device_put(
-                self.cache["v_pages"], NamedSharding(mesh, kv_spec))
 
         # host-side slot state
         self.pos = np.zeros(n_slots, np.int32)
@@ -425,9 +437,13 @@ class Engine:
         n_pages = pages_needed(s + req.max_new_tokens, self.page_size)
         pages = self.alloc.alloc(n_pages)
         if pages is None:
-            # cached session prefixes are reclaimable: evict oldest first
+            # cached session prefixes are reclaimable: evict oldest first,
+            # but the REQUESTER's own cache last — it is about to be
+            # reclaimed after prefix extraction anyway, and evicting it
+            # here would silently forfeit the KV-reuse TTFT win
             while pages is None and self._prefix_cache:
-                key = next(iter(self._prefix_cache))
+                others = [k for k in self._prefix_cache if k != req.session_key]
+                key = others[0] if others else next(iter(self._prefix_cache))
                 self.alloc.release(self._prefix_cache.pop(key).pages)
                 pages = self.alloc.alloc(n_pages)
             if pages is None:
@@ -514,6 +530,7 @@ class Engine:
             req=req, slot=slot, pages=pages, true_len=s, bucket=bucket,
             chunk=chunk, offset=offset,
             embeds=embeds, sk=sk, sv=sv,
+            mode=choose_sampling_mode(req.temperature, req.top_k, req.top_p),
         )
 
     def _prefill_tick(self) -> None:
@@ -532,7 +549,7 @@ class Engine:
             jnp.asarray([job.req.top_k], jnp.int32),
             jnp.asarray([job.req.top_p], jnp.float32),
             self._key, llm=self._prefill_llm_cfg, chunk=job.chunk,
-            mesh=self.mesh,
+            mesh=self.mesh, mode=job.mode,
         )
         job.offset += job.chunk
         if job.offset < min(-(-job.true_len // job.chunk) * job.chunk, job.bucket):
@@ -558,7 +575,6 @@ class Engine:
         # request's live page)
         self._table_np[slot] = self.total_pages
         self._table_np[slot, : len(job.pages)] = job.pages
-        self.cache["table"] = jnp.asarray(self._table_np)
         self.slot_req[slot] = req
         self.pos[slot] = job.true_len
         self._temps[slot] = req.temperature
@@ -662,7 +678,10 @@ class Engine:
             done_reason = "eos"
         elif len(req.tokens) >= req.max_new_tokens:
             done_reason = "length"
-        elif self.pos[slot] + 1 >= self.max_len:
+        elif len(req.input_ids) + len(req.tokens) >= self.max_len:
+            # true rows filled, NOT self.pos (that cursor is speculatively
+            # ~2 chunks ahead and would truncate near-max_len requests
+            # early with the wrong finish reason)
             done_reason = "cache_full"
         if done_reason is not None:
             self._free_slot(slot, req, done_reason)
@@ -681,14 +700,20 @@ class Engine:
                 and req.images is None
                 and req.speech is None
             ):
-                # keep this turn's kv for the session's next request
+                # keep this turn's kv for the session's next request.
+                # The FINAL emitted token is excluded: its KV row is only
+                # written when the token is fed to a decode step, which
+                # never happens for the last token of the last chunk (nor
+                # at all when the request finished on the early prefill
+                # first-token emission) — caching it would advertise a
+                # garbage row to the next turn's prefix reuse.
                 old = self._prefix_cache.pop(req.session_key, None)
                 if old is not None:
                     self.alloc.release(old.pages)
                 self._prefix_cache[req.session_key] = _CachedPrefix(
                     ids=np.concatenate(
                         [np.asarray(req.input_ids, np.int64),
-                         np.asarray(req.tokens, np.int64)]
+                         np.asarray(req.tokens[:-1], np.int64)]
                     ),
                     pages=list(pages),
                 )
@@ -718,7 +743,17 @@ class EngineThread(threading.Thread):
 
     def run(self) -> None:
         while not self._stop_evt.is_set():
-            n = self.engine.step()
+            try:
+                n = self.engine.step()
+            except Exception:  # noqa: BLE001 - serving loop must survive
+                # one bad request (or a raising user callback) must not
+                # kill the loop: every other admitted request would hang
+                # forever on its queue with no error surfaced
+                import traceback
+
+                traceback.print_exc()
+                time.sleep(self.tick_idle_s)
+                continue
             if n == 0:
                 time.sleep(self.tick_idle_s)
 

@@ -115,7 +115,11 @@ def merge_current_and_history(
         first_u, first_b = stripped[0]
         turns = [(DEFAULT_IMAGE_TOKEN * n_img + first_u, first_b)] + stripped[1:]
 
-    has_image = any(DEFAULT_IMAGE_TOKEN in u for u, _ in turns)
+    # any image OR video media selects the video system prompt (reference
+    # maps both to system_prompts['video'], web_interactive_demo.py:619-622)
+    has_image = any(
+        DEFAULT_IMAGE_TOKEN in u or DEFAULT_VIDEO_TOKEN in u for u, _ in turns
+    )
     modality = "video" if has_image else "lang"
 
     d = Dialog(TEMPLATES[template])
