@@ -520,3 +520,50 @@ def test_cache_full_uses_true_position(tiny):
     eng.run_until_idle()
     assert len(r.tokens) == 32, f"truncated to {len(r.tokens)}"
     assert reasons == ["length"]
+
+
+def test_duplex_short_sentence_merges_forward():
+    """A sub-minimum first sentence ('Hi.') must merge into the next one,
+    not wedge the TTS flush for the rest of the turn."""
+    e0, e1 = FakeEngine(), FakeEngine()
+    tts = []
+    ctl = DuplexController([e0, e1], byte_decode, on_tts=tts.append)
+    r = ctl.submit_query(Request(input_ids=np.array([1]), max_new_tokens=99))
+    e1.feed(r, enc("<1>Hi. The weather is lovely today. Bye."), finish="eos")
+    joined = "".join(tts)
+    assert "The weather is lovely today." in joined
+    assert joined.replace(" ", "").startswith("Hi.Theweather")
+    # the merged first flush arrived BEFORE end-of-turn (incremental TTS):
+    assert len(tts) >= 2
+
+
+def test_duplex_second_query_same_monitor_survives():
+    """Two queries submitted to the same monitor before the first decides:
+    promoting the second must not cancel its own engine (and answer)."""
+    e0, e1 = FakeEngine(), FakeEngine()
+    texts = []
+    ctl = DuplexController([e0, e1], byte_decode, texts.append)
+    ra = ctl.submit_query(Request(input_ids=np.array([1]), max_new_tokens=99))
+    rb = ctl.submit_query(Request(input_ids=np.array([1]), max_new_tokens=99))
+    assert len(e1.pending) == 2  # both on the monitor
+    e1.feed(ra, enc("<1>First answer. Padding."), finish="eos")
+    assert ctl.generator_idx == 1
+    e1.feed(rb, enc("<1>Second answer. Padding."), finish="eos")
+    assert not rb.cancelled
+    assert ra.cancelled  # interrupted by B's promotion
+    assert "Second answer." in "".join(texts)
+
+
+def test_duplex_partial_utf8_not_streamed():
+    """A token boundary splitting a multi-byte char must not leak U+FFFD
+    into on_text / TTS."""
+    e0, e1 = FakeEngine(), FakeEngine()
+    texts, tts = [], []
+    ctl = DuplexController([e0, e1], byte_decode, texts.append, tts.append)
+    r = ctl.submit_query(Request(input_ids=np.array([1]), max_new_tokens=99))
+    payload = "<1>喂。很高兴见到你。".encode()
+    ids = [b + 3 for b in payload]
+    e1.feed(r, ids, finish="eos")
+    assert "�" not in "".join(texts)
+    assert "�" not in "".join(tts)
+    assert "很高兴见到你。" in "".join(texts)

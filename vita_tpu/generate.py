@@ -175,10 +175,10 @@ class Generator:
             cfg, llm=dataclasses.replace(cfg.llm, moe_mode=prefill_moe_mode)
         )
 
-        @jax.jit
+        @functools.partial(jax.jit, static_argnames=("mode",))
         def _prefill(params, input_ids, image_mask, audio_mask,
                      images, speech, speech_lengths, audio_select,
-                     true_len, temp, tk, tp, key):
+                     true_len, temp, tk, tp, key, mode="filtered"):
             cache = mixtral.init_kv_cache(cfg.llm, 1, max_len)
             attn_valid = jnp.arange(max_len)[None, :] < true_len[:, None]
             logits, cache, _ = vita.forward(
@@ -192,11 +192,12 @@ class Generator:
                 logits, (true_len - 1)[:, None, None], axis=1
             )[:, 0]
             key, sub = jax.random.split(key)
-            tok = sample_tokens(last, sub, temp, tk, tp)
+            tok = sample_tokens(last, sub, temp, tk, tp, mode=mode)
             return tok, cache["k"], cache["v"], key
 
-        @jax.jit
-        def _prefill_text(params, input_ids, true_len, temp, tk, tp, key):
+        @functools.partial(jax.jit, static_argnames=("mode",))
+        def _prefill_text(params, input_ids, true_len, temp, tk, tp, key,
+                          mode="filtered"):
             cache = mixtral.init_kv_cache(cfg.llm, 1, max_len)
             attn_valid = jnp.arange(max_len)[None, :] < true_len[:, None]
             logits, cache, _ = vita.forward(
@@ -206,7 +207,7 @@ class Generator:
                 logits, (true_len - 1)[:, None, None], axis=1
             )[:, 0]
             key, sub = jax.random.split(key)
-            tok = sample_tokens(last, sub, temp, tk, tp)
+            tok = sample_tokens(last, sub, temp, tk, tp, mode=mode)
             return tok, cache["k"], cache["v"], key
 
         self._prefill = _prefill
@@ -248,13 +249,22 @@ class Generator:
         tk = jnp.asarray([gen.top_k], jnp.int32)
         tp = jnp.asarray([gen.top_p], jnp.float32)
         key = jax.random.PRNGKey(seed)
+        # static sampling tier: greedy requests must not pay the 51k-vocab
+        # sort — in the prefill programs too, not just decode_chunk
+        mode = choose_sampling_mode(gen.temperature, gen.top_k, gen.top_p)
 
         if images is None and speech is None:
             tok, k, v, key = self._prefill_text(
-                self.params, ids, true_len, temp, tk, tp, key
+                self.params, ids, true_len, temp, tk, tp, key, mode=mode
             )
         else:
-            im, am = _padmask(image_mask), _padmask(audio_mask)
+            im = _padmask(image_mask)
+            # one padded audio mask drives BOTH the model mask and the
+            # audio_select addressing (they must stay byte-identical)
+            am_np = np.zeros(p, bool)
+            if audio_mask is not None:
+                am_np[:s] = np.asarray(audio_mask, bool)
+            am = jnp.asarray(am_np)[None]
             img = (
                 jnp.asarray(pad_axis0(np.asarray(images), self.tile_buckets))
                 if images is not None else None
@@ -265,14 +275,11 @@ class Generator:
                     speech, speech_length, self.frame_buckets
                 )
                 sp, sl = jnp.asarray(clips), jnp.asarray(lens)
-                am_np = np.zeros(p, bool)
-                if audio_mask is not None:
-                    am_np[:s] = np.asarray(audio_mask, bool)
                 ci, ri = audio_select_arrays(am_np, counts)
                 sel = (jnp.asarray(ci)[None], jnp.asarray(ri)[None])
             tok, k, v, key = self._prefill(
                 self.params, ids, im, am, img, sp, sl, sel,
-                true_len, temp, tk, tp, key,
+                true_len, temp, tk, tp, key, mode=mode,
             )
 
         cache = {"k": k, "v": v, "pos": true_len}
@@ -283,7 +290,6 @@ class Generator:
 
         # pipeline chunk dispatches one deep: enqueue chunk i+1 before
         # reading chunk i's tokens so the host round-trip is hidden.
-        mode = choose_sampling_mode(gen.temperature, gen.top_k, gen.top_p)
 
         def launch(cache, tok, pos, key):
             return decode_chunk(

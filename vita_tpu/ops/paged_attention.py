@@ -224,7 +224,10 @@ def paged_attention(
     interpret_forced = (
         _jax_config.pallas_tpu_interpret_mode_context_manager.value is not None
     )
-    if jax.default_backend() != "tpu" and not interpret_forced:
+    if (jax.default_backend() != "tpu" and not interpret_forced) or d % 128:
+        # the Pallas kernel DMAs [page, d] slices which Mosaic requires
+        # lane-aligned (d % 128 == 0); small test/demo head dims take the
+        # XLA twin on real TPUs too
         return _paged_attention_xla(
             q, k_pages, v_pages, tables.astype(jnp.int32),
             lengths.astype(jnp.int32), jnp.asarray(layer, jnp.int32).reshape(()),

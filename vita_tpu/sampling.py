@@ -171,5 +171,8 @@ def decode_chunk(
         body, ({"k": cache["k"], "v": cache["v"]}, tok, pos, key), None,
         length=chunk_len,
     )
-    new_cache = {"k": kv["k"], "v": kv["v"], "pos": cache.get("pos", pos)}
+    # return the ADVANCED positions (like the paged branch): a caller
+    # feeding the returned cache into the next chunk must not re-decode at
+    # the original rows
+    new_cache = {"k": kv["k"], "v": kv["v"], "pos": pos}
     return new_cache, toks.T, tok, key

@@ -47,9 +47,10 @@ class DuplexController:
         decode: Callable[[List[int]], str],
         on_text: Optional[Callable[[str], None]] = None,
         on_tts: Optional[Callable[[str], None]] = None,
-        config: DuplexConfig = DuplexConfig(),
+        config: Optional[DuplexConfig] = None,
         on_turn: Optional[Callable[["Request", str], None]] = None,
     ):
+        config = config or DuplexConfig()  # fresh per controller
         assert len(engines) == 2
         self.engines = engines
         self.decode = decode
@@ -74,6 +75,14 @@ class DuplexController:
     def generator(self) -> Engine:
         return self.engines[self.generator_idx]
 
+    def new_request(self, input_ids, **kw) -> Request:
+        """Build a Request carrying this controller's configured defaults
+        (max_new_tokens / temperature / eos_id from DuplexConfig)."""
+        kw.setdefault("max_new_tokens", self.cfg.max_new_tokens)
+        kw.setdefault("temperature", self.cfg.temperature)
+        kw.setdefault("eos_id", self.cfg.eos_id)
+        return Request(input_ids=input_ids, **kw)
+
     def submit_query(self, request: Request) -> Request:
         """New (VAD-segmented) query goes to the MONITOR engine. Its output
         is gated: '<2>' prefix aborts; anything else interrupts the current
@@ -82,7 +91,11 @@ class DuplexController:
         request.on_token = gate.on_token
         request.on_finish = gate.on_finish
         with self._lock:
-            self.monitor.submit(request)
+            host = self.monitor
+            # remember which engine runs this request: _promote must never
+            # cancel the promoted request's own host
+            request._duplex_engine_idx = self.engines.index(host)
+            host.submit(request)
         return request
 
     # internal: called by the gate when the first visible text is known
@@ -91,8 +104,14 @@ class DuplexController:
             self.interrupts += 1 if self.current is not None else 0
             if self.current is not None and not self.current.cancelled:
                 self.current.cancel()  # interrupt (stop_event :345-351)
-            self.generator.cancel_all()
-            self.generator_idx = 1 - self.generator_idx  # role swap
+            # the promoted request's host becomes the generator; cancel
+            # everything on the OTHER engine. (When two queries were
+            # submitted to the same monitor back-to-back, the pre-swap
+            # 'generator' IS the host — cancelling it would kill the very
+            # answer being promoted.)
+            host = getattr(request, "_duplex_engine_idx", 1 - self.generator_idx)
+            self.engines[1 - host].cancel_all()
+            self.generator_idx = host  # role swap
             self.current = request
 
     def _reject(self, request: Request) -> None:
@@ -110,8 +129,9 @@ class _StateTokenGate:
         self.req = request
         self.decided = False
         self.buffer: List[int] = []
-        self.text_sent = 0
+        self.text_out = ""  # exact text already delivered to on_text
         self.tts_pending = ""
+        self._tts_scan = 0  # resume point for the sentence scan
 
     def on_token(self, tok: int) -> None:
         self.buffer.append(tok)
@@ -133,33 +153,48 @@ class _StateTokenGate:
             self.ctl._promote(self.req)
         self._stream(text)
 
-    def _stream(self, text: str) -> None:
+    def _stream(self, text: str, final: bool = False) -> None:
         clean = _strip_state_tokens(text)
-        if len(clean) > self.text_sent:
-            self.ctl.on_text(clean[self.text_sent :])
-            self.tts_pending += clean[self.text_sent :]
-            self.text_sent = len(clean)
-        # flush complete sentences to TTS (>=5 chars, punct boundary :572-574)
+        if not final:
+            # a token boundary can split a multi-byte character: hold a
+            # trailing replacement char until it decodes for real
+            clean = clean.rstrip("�")
+        # emit only a monotonic extension of what was delivered: stripping
+        # a just-completed state token SHRINKS the text, and a naive
+        # length diff would misalign (swallow or duplicate characters)
+        if clean.startswith(self.text_out) and len(clean) > len(self.text_out):
+            delta = clean[len(self.text_out):]
+            self.ctl.on_text(delta)
+            self.tts_pending += delta
+            self.text_out = clean
+        # flush complete sentences to TTS (>=5 chars, punct boundary
+        # :572-574); a too-short sentence merges FORWARD into the next one
+        # (resuming the scan past its punctuation — never re-cutting the
+        # same spot, which would block TTS for the rest of the turn)
         while True:
             cut = next(
-                (i for i, c in enumerate(self.tts_pending) if c in SENTENCE_PUNCT), None
+                (i for i in range(self._tts_scan, len(self.tts_pending))
+                 if self.tts_pending[i] in SENTENCE_PUNCT),
+                None,
             )
             if cut is None:
                 break
-            sentence, self.tts_pending = (
-                self.tts_pending[: cut + 1],
-                self.tts_pending[cut + 1 :],
-            )
-            if len(sentence.strip()) >= MIN_TTS_CHARS:
-                self.ctl.on_tts(sentence)
-            elif sentence.strip():
-                self.tts_pending = sentence + self.tts_pending
-                break
+            candidate = self.tts_pending[: cut + 1]
+            if len(candidate.strip()) >= MIN_TTS_CHARS:
+                self.ctl.on_tts(candidate)
+                self.tts_pending = self.tts_pending[cut + 1 :]
+                self._tts_scan = 0
+            else:
+                self._tts_scan = cut + 1
 
     def on_finish(self, tokens: List[int], reason: str) -> None:
-        if self.decided and reason != "cancelled" and self.tts_pending.strip():
-            self.ctl.on_tts(self.tts_pending)
-            self.tts_pending = ""
+        if self.decided and reason != "cancelled":
+            # deliver any held-back tail (trailing partial char, unstreamed
+            # remainder) before the final TTS flush
+            self._stream(self.ctl.decode(tokens), final=True)
+            if self.tts_pending.strip():
+                self.ctl.on_tts(self.tts_pending)
+                self.tts_pending = ""
         if self.decided and not self.req.cancelled and reason != "cancelled":
             self.ctl.on_turn(self.req, self.ctl.decode(tokens))
 

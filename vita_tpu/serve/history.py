@@ -143,11 +143,18 @@ def merge_current_and_history(
 
 
 class ChatSession:
-    """Per-session turn store for the HTTP server / demos."""
+    """Per-session turn store for the HTTP server / demos.
+
+    ``lock`` serializes a session's merge -> generate -> record sequence:
+    two concurrent requests with the same session id would otherwise race
+    on ``turns`` and build prompts from half-updated history."""
 
     def __init__(self, limit: int = 10):
+        import threading
+
         self.turns: List[HistoryTurn] = []
         self.limit = limit
+        self.lock = threading.Lock()
 
     def add(self, turn: HistoryTurn) -> None:
         self.turns.append(turn)

@@ -127,9 +127,15 @@ class ServingApp:
 
         session_id = payload.get("session_id")
         record = None
+        release = lambda: None
         if session_id:
             with self._sessions_lock:
                 sess = self.sessions.setdefault(session_id, ChatSession())
+            # serialize this session's merge -> generate -> record: a
+            # concurrent same-session request would otherwise merge a
+            # half-updated history (the handler releases after record)
+            sess.lock.acquire()
+            release = sess.lock.release
             interactive = self.history_mode == "interactive"
             cur_images, cur_counts = images, tuple(img_counts)
             merged = sess.merge(
@@ -161,9 +167,13 @@ class ServingApp:
             req_speech = speech
             req_speech_len = speech_len
 
-        ids = tokenize_multimodal(prompt, self.encode, bos_id=self.bos_id)
-        expanded = expand_media_sentinels(ids, img_counts, aud_counts)
-        safe, im, am = media_masks(np.array(expanded))
+        try:
+            ids = tokenize_multimodal(prompt, self.encode, bos_id=self.bos_id)
+            expanded = expand_media_sentinels(ids, img_counts, aud_counts)
+            safe, im, am = media_masks(np.array(expanded))
+        except Exception:
+            release()
+            raise
 
         return Request(
             input_ids=safe,
@@ -176,11 +186,16 @@ class ServingApp:
             eos_id=self.eos_id,
             # text-only session turns reuse the previous turn's KV prefix
             session_key=session_id,
-        ), record
+        ), record, release
 
 
 def make_handler(app: ServingApp):
     class Handler(BaseHTTPRequestHandler):
+        # chunked transfer-encoding is an HTTP/1.1 feature: on the default
+        # HTTP/1.0 status line, compliant clients do not de-chunk and the
+        # raw framing leaks into the body
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, *a):  # quiet
             pass
 
@@ -215,15 +230,18 @@ def make_handler(app: ServingApp):
             if self.path != "/v1/generate":
                 self.send_error(404)
                 return
+            release = None
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(n) or b"{}")
-                req, record = app.build_request(payload)
+                req, record, release = app.build_request(payload)
                 tok_q: "queue.Queue[Optional[int]]" = queue.Queue()
                 req.on_token = tok_q.put
                 req.on_finish = lambda toks, reason: tok_q.put(None)
                 app.engine.submit(req)  # may reject on cache capacity
             except Exception as e:  # malformed request / over capacity
+                if release is not None:
+                    release()
                 body = json.dumps({"error": str(e)}).encode()
                 self.send_response(400)
                 self.send_header("Content-Type", "application/json")
@@ -236,6 +254,17 @@ def make_handler(app: ServingApp):
             self.send_header("Content-Type", "text/plain; charset=utf-8")
             self.send_header("Transfer-Encoding", "chunked")
             self.end_headers()
+
+            def clean_text(ids, final):
+                text = app.decode(ids).replace("</s>", "")
+                for st in ("<1>", "<2>", "<3>"):
+                    text = text.replace(st, "")
+                # a token boundary can split a multi-byte character: hold a
+                # trailing replacement char until it decodes for real
+                if not final:
+                    text = text.rstrip("\ufffd")
+                return text
+
             sent = ""
             toks = []
             try:
@@ -244,18 +273,26 @@ def make_handler(app: ServingApp):
                     if t is None:
                         break
                     toks.append(t)
-                    text = app.decode(toks).replace("</s>", "")
-                    for st in ("<1>", "<2>", "<3>"):
-                        text = text.replace(st, "")
-                    if len(text) > len(sent):
+                    text = clean_text(toks, final=False)
+                    # emit only a monotonic extension of what was sent:
+                    # stripping a just-completed state token SHRINKS the
+                    # text, and a naive length diff would misalign forever
+                    if text.startswith(sent) and len(text) > len(sent):
                         chunk = text[len(sent):].encode()
                         self.wfile.write(f"{len(chunk):x}\r\n".encode() + chunk + b"\r\n")
                         sent = text
+                final = clean_text(toks, final=True)
+                if final.startswith(sent) and len(final) > len(sent):
+                    chunk = final[len(sent):].encode()
+                    self.wfile.write(f"{len(chunk):x}\r\n".encode() + chunk + b"\r\n")
                 self.wfile.write(b"0\r\n\r\n")
                 if record is not None:  # persist the turn for the session
                     record(app.decode(toks).replace("</s>", ""))
             except (BrokenPipeError, ConnectionResetError):
                 req.cancel()  # client went away: free the slot
+            finally:
+                if release is not None:
+                    release()
 
     return Handler
 
