@@ -214,3 +214,37 @@ def test_lora_plus_base_load_path(tmp_path, tiny):
         np.asarray(jax.tree.leaves(merged["llm"]["layers"]["attn"])[0]),
         np.asarray(jax.tree.leaves(params["llm"]["layers"]["attn"])[0]),
     )
+
+
+def test_hf_export_import_nondefault_projector(tmp_path, tiny):
+    """A non-mlp2x projector kind must survive the HF round trip: the kind
+    rides config.json (mm_projector_type) and the weights serialize under
+    native.<path> keys (no reference layout exists for these variants)."""
+    import dataclasses
+
+    from vita_tpu.checkpoint import export_hf_vita_checkpoint, load_vita_checkpoint
+    from vita_tpu.models import projectors, vita
+
+    cfg, params = tiny
+    cfg = dataclasses.replace(cfg, vision_projector="mlp3x_gelu")
+    params = dict(params)
+    params["vision_proj"] = projectors.init_vision_projector_kind(
+        jax.random.PRNGKey(3), cfg.vision_proj_in_dim, cfg.llm.d_model,
+        kind="mlp3x_gelu",
+    )
+    params = _bf16(params)
+    out = str(tmp_path / "hf3x")
+    export_hf_vita_checkpoint(out, cfg, params)
+
+    cfg2, params2 = load_vita_checkpoint(out)
+    assert cfg2.vision_projector == "mlp3x_gelu"
+    flat1, tree1 = jax.tree_util.tree_flatten(params["vision_proj"])
+    flat2, tree2 = jax.tree_util.tree_flatten(params2["vision_proj"])
+    assert tree1 == tree2
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                      np.asarray(b, np.float32))
+    # and the loaded stack actually runs with the restored projector
+    ids = np.array([1, 5, 9], np.int32)
+    logits, _, _ = vita.forward(params2, cfg2, jnp.asarray(ids)[None])
+    assert np.isfinite(np.asarray(logits, np.float32)).all()

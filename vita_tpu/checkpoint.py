@@ -152,6 +152,7 @@ def load_vita_checkpoint(path: str):
             dtype=jnp.bfloat16,
         ),
         vision_fusion=raw.get("vision_fusion", "patch"),
+        vision_projector=raw.get("mm_projector_type", "mlp2x_gelu"),
     )
     params = _load_hf_vita_weights(path, cfg)
     return cfg, params
@@ -198,6 +199,25 @@ def save_vita_checkpoint(path: str, cfg, params, step: int = 0) -> None:
     save_checkpoint(os.path.join(path, "ckpt"), params, step=step)
 
 
+def _load_hf_vision_proj(state, cfg):
+    """Projector import for any registered kind: mlp2x uses the reference
+    linear_1/linear_2 layout; other kinds fill an init template from their
+    native.<path> keys (see hf_import.vision_projector_from_hf)."""
+    import jax as _jax
+
+    from vita_tpu.models import projectors
+    from vita_tpu.utils.hf_import import vision_projector_from_hf
+
+    kind = getattr(cfg, "vision_projector", "mlp2x_gelu")
+    template = None
+    if kind != "mlp2x_gelu":
+        template = projectors.init_vision_projector_kind(
+            _jax.random.PRNGKey(0), cfg.vision_proj_in_dim, cfg.llm.d_model,
+            kind=kind,
+        )
+    return vision_projector_from_hf(state, kind=kind, template=template)
+
+
 def _load_hf_vita_weights(path: str, cfg):
     """Import the deployed HF checkpoint's safetensors into our pytree."""
     import glob
@@ -232,7 +252,7 @@ def _load_hf_vita_weights(path: str, cfg):
             sub("language_model."), cfg.llm, prefix="model.", dtype=np.float32
         ),
         "vision": internvit_params_from_hf(sub("vision_tower."), cfg.vision.n_layers),
-        "vision_proj": vision_projector_from_hf(sub("vision_projector.")),
+        "vision_proj": _load_hf_vision_proj(sub("vision_projector."), cfg),
         "audio": whale_params_from_hf(
             sub("audio_model."), cfg.audio.n_layers, cmvn_mean, cmvn_istd
         ),
@@ -346,6 +366,7 @@ def export_hf_vita_checkpoint(path: str, cfg, params) -> None:
         "architectures": ["MixtralForConditionalGeneration"],
         "model_type": "mixtral-multimodal",
         "vision_fusion": cfg.vision_fusion,
+        "mm_projector_type": cfg.vision_projector,
         "image_token_index": 51000,
         "audio_token_index": 51001,
         "text_config": {

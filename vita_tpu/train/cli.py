@@ -162,6 +162,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     trainer = Trainer(cfg, stage, run, params, mesh=mesh)
     log = trainer.train(ds, Collator(pad_id=pad_id or 0))
     trainer.save()
+    # the final async checkpoint write must land before the interpreter
+    # exits (per-step saves stay non-blocking; only this last one waits)
+    from vita_tpu.checkpoint import wait_for_checkpoints
+
+    wait_for_checkpoints()
     if log:
         print(f"[done] {len(log)} steps, final loss {log[-1]['loss']:.4f}")
     return 0

@@ -23,10 +23,12 @@ import jax.numpy as jnp
 Params = Dict[str, Any]
 
 # LLM weight leaves that receive adapters (all attention + expert matrices
-# + router — the 'all linear names' of the backbone).
+# + the router gate — the reference's find_all_linear_names matches every
+# backbone nn.Linear incl. block_sparse_moe.gate, train.py:122-138).
 LORA_TARGETS = (
     ("attn", "wq"), ("attn", "wk"), ("attn", "wv"), ("attn", "wo"),
     ("moe", "w_gate"), ("moe", "w_up"), ("moe", "w_down"),
+    ("moe", "router"),
 )
 
 
@@ -81,8 +83,10 @@ def merge_lora(params: Params, lora: Params, cfg: LoRAConfig) -> Params:
     return out
 
 
-def lora_loss_fn(base_params, lora, vita_cfg, lora_cfg, batch, aux_coef, loss_fn):
-    """Wrap a loss over (frozen base, trainable lora)."""
+def lora_loss_fn(base_params, lora, vita_cfg, lora_cfg, batch, aux_coef,
+                 loss_fn, mesh=None):
+    """Wrap a loss over (frozen base, trainable lora). ``mesh`` threads
+    through to the forward (required for pipeline parallelism)."""
     merged = dict(base_params)
     merged["llm"] = apply_lora(base_params["llm"], lora, lora_cfg)
-    return loss_fn(merged, vita_cfg, batch, aux_coef)
+    return loss_fn(merged, vita_cfg, batch, aux_coef, mesh)

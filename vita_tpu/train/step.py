@@ -88,9 +88,13 @@ def make_optimizer(tc: TrainConfig, params) -> optax.GradientTransformation:
         )
 
     def adamw(lr):
+        # decay excludes 1-D leaves (norm scales, biases) like the
+        # reference HF-Trainer optimizer groups (vita_trainer.py:171-283)
+        decay_mask = jax.tree.map(lambda p: p.ndim > 1, params)
         return optax.chain(
             optax.clip_by_global_norm(tc.grad_clip),
-            optax.adamw(schedule(lr), b1=tc.b1, b2=tc.b2, weight_decay=tc.weight_decay),
+            optax.adamw(schedule(lr), b1=tc.b1, b2=tc.b2,
+                        weight_decay=tc.weight_decay, mask=decay_mask),
         )
 
     base = adamw(tc.learning_rate)
@@ -161,12 +165,3 @@ def make_train_step(
 
     return step
 
-
-def shard_train_state(mesh, cfg: vita.VITAConfig, params, opt_state):
-    """Apply declarative shardings to params; optimizer state mirrors them."""
-    from jax.sharding import NamedSharding
-
-    specs = vita.param_specs(cfg)
-    put = lambda x, s: jax.device_put(x, NamedSharding(mesh, s))
-    params = jax.tree.map(put, params, specs)
-    return params, opt_state

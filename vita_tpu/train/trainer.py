@@ -60,7 +60,13 @@ class Trainer:
             )
         self.params = params
         self.opt_state = self.optimizer.init(params)
-        self.step_fn = jax.jit(make_train_step(cfg, tc, self.optimizer, mesh=mesh))
+        # donate the old params/opt_state buffers: they are dead after the
+        # call (immediately rebound) and keeping both generations live
+        # doubles peak HBM at stage-3 scale
+        self.step_fn = jax.jit(
+            make_train_step(cfg, tc, self.optimizer, mesh=mesh),
+            donate_argnums=(0, 1),
+        )
         self.step = 0
         self.metrics_log: List[Dict[str, float]] = []
 
@@ -97,9 +103,9 @@ class Trainer:
         self._prune_checkpoints()
 
     def _prune_checkpoints(self) -> None:
-        from vita_tpu.checkpoint import wait_for_checkpoints
-
-        wait_for_checkpoints()  # never prune a step still being written
+        # no wait: _committed_steps filters in-flight *.orbax-checkpoint-tmp
+        # dirs, and the only in-flight step is the newest (never pruned) —
+        # blocking here would nullify the async checkpointer
         d = self._ckpt_dir()
         if not os.path.isdir(d):
             return
@@ -143,11 +149,36 @@ class Trainer:
     # -- loop -------------------------------------------------------------
     def train(self, dataset, collator: Optional[Collator] = None) -> List[Dict[str, float]]:
         collator = collator or Collator(pad_id=0)
+        # resume semantics (train.py:384-387): a resumed run continues the
+        # SAME schedule — skip the batches already trained instead of
+        # re-running num_epochs full epochs on top (a completed run
+        # becomes a no-op). Skipped batches are built then discarded
+        # (host-side collation only; the device never sees them).
+        resume_skip = self.step
+        g = 0
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            bs = self.run.batch_size
+            put = lambda v: jax.device_put(
+                v, NamedSharding(
+                    self.mesh,
+                    P(("data", "fsdp")) if v.ndim >= 1 and v.shape[0] == bs
+                    else P(),
+                )
+            )
+        else:
+            put = lambda v: v
         for epoch in range(self.run.num_epochs):
             for batch in self.batches(dataset, collator):
+                if g < resume_skip:
+                    g += 1
+                    continue
+                g += 1
                 t0 = time.time()
                 jbatch = {
-                    k: jnp.asarray(v) for k, v in batch.items() if k != "tiles_per_sample"
+                    k: put(jnp.asarray(v))
+                    for k, v in batch.items() if k != "tiles_per_sample"
                 }
                 self.params, self.opt_state, metrics = self.step_fn(
                     self.params, self.opt_state, jbatch
@@ -207,14 +238,20 @@ def evaluate(params, cfg: vita.VITAConfig, dataset, collator: Collator,
     total_nll = 0.0
     total_tok = 0
     n = len(dataset)
-    for bi, i in enumerate(range(0, n - batch_size + 1, batch_size)):
+    for bi, i in enumerate(range(0, n, batch_size)):
         if max_batches is not None and bi >= max_batches:
             break
-        batch = collator([dataset[j] for j in range(i, i + batch_size)])
+        # the tail batch evaluates too (variable batch shape => one extra
+        # compile at most; silently dropping samples skews small evals)
+        batch = collator([dataset[j] for j in range(i, min(i + batch_size, n))])
         jbatch = {k: jnp.asarray(v) for k, v in batch.items() if k != "tiles_per_sample"}
         nll, tok = step(params, jbatch)
         total_nll += float(nll)
         total_tok += int(tok)
-    ppl = float(np.exp(total_nll / max(total_tok, 1)))
-    return {"eval_nll": total_nll / max(total_tok, 1), "eval_ppl": ppl,
+    if total_tok == 0:
+        # no evaluated tokens must not read as a perfect score
+        return {"eval_nll": float("nan"), "eval_ppl": float("nan"),
+                "eval_tokens": 0}
+    ppl = float(np.exp(total_nll / total_tok))
+    return {"eval_nll": total_nll / total_tok, "eval_ppl": ppl,
             "eval_tokens": total_tok}

@@ -200,12 +200,39 @@ def whale_params_from_hf(
     }
 
 
-def vision_projector_from_hf(state: Mapping[str, Any], prefix="", dtype=np.float32):
+def _tree_paths(tree, prefix=""):
+    """Flatten a param pytree to sorted ('a.b.c', leaf) pairs."""
+    out = []
+    if isinstance(tree, Mapping):
+        for k in sorted(tree):
+            out += _tree_paths(tree[k], f"{prefix}{k}." if prefix or True else k)
+    else:
+        out.append((prefix[:-1], tree))
+    return out
+
+
+def vision_projector_from_hf(state: Mapping[str, Any], prefix="",
+                             dtype=np.float32, kind="mlp2x_gelu",
+                             template=None):
+    """mlp2x_gelu maps the reference's linear_1/linear_2 layout; every
+    other projector variant round-trips its native leaves under
+    'native.<path>' keys (no reference layout exists for them), filled
+    into ``template`` (an init_vision_projector_kind pytree)."""
     g = lambda n: _np(state[prefix + n]).astype(dtype)
-    return {
-        "fc1_w": g("linear_1.weight").T, "fc1_b": g("linear_1.bias"),
-        "fc2_w": g("linear_2.weight").T, "fc2_b": g("linear_2.bias"),
-    }
+    if kind == "mlp2x_gelu":
+        return {
+            "fc1_w": g("linear_1.weight").T, "fc1_b": g("linear_1.bias"),
+            "fc2_w": g("linear_2.weight").T, "fc2_b": g("linear_2.bias"),
+        }
+    if template is None:
+        raise ValueError(f"loading projector kind {kind!r} needs a template")
+
+    def fill(tree, p=""):
+        if isinstance(tree, Mapping):
+            return {k: fill(v, f"{p}{k}.") for k, v in tree.items()}
+        return g(f"native.{p[:-1]}").reshape(np.shape(tree))
+
+    return fill(template)
 
 
 def audio_projector_from_hf(state: Mapping[str, Any], prefix="", dtype=np.float32):
@@ -402,12 +429,15 @@ def whale_params_to_hf(params, n_layers: int) -> Dict[str, np.ndarray]:
     return out
 
 
-def vision_projector_to_hf(params) -> Dict[str, np.ndarray]:
+def vision_projector_to_hf(params, kind="mlp2x_gelu") -> Dict[str, np.ndarray]:
     g = lambda x: np.asarray(x, np.float32)
-    return {
-        "linear_1.weight": g(params["fc1_w"]).T, "linear_1.bias": g(params["fc1_b"]),
-        "linear_2.weight": g(params["fc2_w"]).T, "linear_2.bias": g(params["fc2_b"]),
-    }
+    if kind == "mlp2x_gelu":
+        return {
+            "linear_1.weight": g(params["fc1_w"]).T, "linear_1.bias": g(params["fc1_b"]),
+            "linear_2.weight": g(params["fc2_w"]).T, "linear_2.bias": g(params["fc2_b"]),
+        }
+    # non-reference variants: serialize native leaves by path
+    return {f"native.{p}": g(v) for p, v in _tree_paths(params)}
 
 
 def audio_projector_to_hf(params) -> Dict[str, np.ndarray]:
@@ -429,7 +459,9 @@ def vita_params_to_hf(params, cfg) -> Dict[str, np.ndarray]:
         out["language_model." + k] = v
     for k, v in internvit_params_to_hf(params["vision"], cfg.vision.n_layers).items():
         out["vision_tower." + k] = v
-    for k, v in vision_projector_to_hf(params["vision_proj"]).items():
+    for k, v in vision_projector_to_hf(
+        params["vision_proj"], kind=getattr(cfg, "vision_projector", "mlp2x_gelu")
+    ).items():
         out["vision_projector." + k] = v
     for k, v in whale_params_to_hf(params["audio"], cfg.audio.n_layers).items():
         out["audio_model." + k] = v
