@@ -194,3 +194,156 @@ def test_prefetch_loader(tmp_path):
     batches = list(loader)
     assert len(loader) == 3 and len(batches) == 3
     assert all(b["input_ids"].shape == (2, 512) for b in batches)
+
+
+def _write_wav(path, n_samples=16000):
+    import struct
+    import wave
+
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        t = np.arange(n_samples)
+        sig = (3000 * np.sin(2 * np.pi * 200 * t / 16000)).astype(np.int16)
+        w.writeframes(struct.pack(f"<{n_samples}h", *sig))
+
+
+def test_lang_samples_have_no_state_tokens(tmp_path):
+    """Pure-language samples bypass media normalization (reference lang
+    branch, neg_frameCat.py:1089-1093): no <1>/<2>/<3> prefix on the
+    assistant turn."""
+    data = [{"conversations": [
+        {"from": "human", "value": "hello"},
+        {"from": "gpt", "value": "world"},
+    ]}]
+    chat = tmp_path / "chat.json"
+    chat.write_text(json.dumps(data))
+    ds = ConversationDataset([DatasetSpec(str(chat))], sp_encode, BOS, EOS,
+                             pad_id=PAD, args=DataArgs(image_size=56))
+    # ids must equal the raw (un-normalized) build — byte parity with the
+    # reference's lang branch — and differ from the state-token version
+    plain, _ = build_training_sample(
+        data[0]["conversations"], sp_encode, "lang", has_media=False,
+        bos_id=BOS, eos_id=EOS, pad_id=PAD)
+    assert ds[0]["input_ids"].tolist() == plain.tolist()
+    normed = normalize_media_tokens(data[0]["conversations"])
+    with_state, _ = build_training_sample(
+        normed, sp_encode, "lang", has_media=False,
+        bos_id=BOS, eos_id=EOS, pad_id=PAD)
+    assert ds[0]["input_ids"].tolist() != with_state.tolist()
+
+
+def test_multi_image_sample_loads_all(tmp_path):
+    from PIL import Image
+
+    p1, p2 = tmp_path / "a.png", tmp_path / "b.png"
+    Image.fromarray(np.zeros((60, 60, 3), np.uint8)).save(p1)
+    Image.fromarray(np.full((60, 120, 3), 128, np.uint8)).save(p2)
+    data = [{"conversations": [
+        {"from": "human", "value": "<image>\nfirst"},
+        {"from": "gpt", "value": "one"},
+        {"from": "human", "value": "<image>\nsecond"},
+        {"from": "gpt", "value": "two"},
+    ], "image": [str(p1), str(p2)]}]
+    chat = tmp_path / "chat.json"
+    chat.write_text(json.dumps(data))
+    ds = ConversationDataset([DatasetSpec(str(chat))], sp_encode, BOS, EOS,
+                             pad_id=PAD,
+                             args=DataArgs(image_size=56, max_patches=2,
+                                           use_thumbnail=False))
+    s = ds[0]
+    n_tiles = s["images"].shape[0]
+    assert n_tiles >= 2  # both images produced tiles
+    n_slots = int((s["input_ids"] == IMAGE_TOKEN_INDEX).sum())
+    assert n_slots == n_tiles * IMAGE_TOKENS_PER_PATCH
+
+
+def test_multi_audio_sample_end_to_end(tmp_path):
+    """Two audio clips: each <audio> sentinel expands to ITS clip's token
+    count, the collator builds the global clip stack + audio_select, and a
+    train step runs on the batch."""
+    import jax
+
+    from vita_tpu.models import vita as vita_mod
+    from vita_tpu.tokenization import audio_token_count
+    from vita_tpu.train.step import TrainConfig, make_optimizer, make_train_step
+
+    w1, w2 = tmp_path / "a.wav", tmp_path / "b.wav"
+    _write_wav(w1, 16000)   # 1 s
+    _write_wav(w2, 32000)   # 2 s
+    data = [{"conversations": [
+        {"from": "human", "value": "<audio>"},
+        {"from": "gpt", "value": "one"},
+        {"from": "human", "value": "<audio>"},
+        {"from": "gpt", "value": "two"},
+    ], "audio": [str(w1), str(w2)]}]
+    chat = tmp_path / "chat.json"
+    chat.write_text(json.dumps(data))
+    ds = ConversationDataset([DatasetSpec(str(chat))], sp_encode, BOS, EOS,
+                             pad_id=PAD, args=DataArgs(image_size=56))
+    s = ds[0]
+    assert "audio_clips" in s and len(s["audio_clips"]) == 2
+    c1 = audio_token_count(len(s["audio_clips"][0]))
+    c2 = audio_token_count(len(s["audio_clips"][1]))
+    assert c1 != c2  # different lengths -> different counts
+    assert int((s["input_ids"] == AUDIO_TOKEN_INDEX).sum()) == c1 + c2
+
+    batch = Collator(pad_id=PAD, buckets=(512,))([s])
+    assert batch["speech"].shape[0] == 2  # global clip stack
+    assert "audio_select_clip" in batch
+    # the second sentinel's slots address clip 1
+    sel = batch["audio_select_clip"][0][batch["audio_mask"][0]]
+    assert set(sel.tolist()) == {0, 1}
+
+    cfg = vita_mod.VITAConfig.tiny()
+    params = vita_mod.init_params(jax.random.PRNGKey(0), cfg)
+    tc = TrainConfig()
+    opt = make_optimizer(tc, params)
+    step = make_train_step(cfg, tc, opt)
+    import jax.numpy as jnp
+
+    # sp_encode ids exceed the tiny vocab; fold them in (mechanics test)
+    v = cfg.llm.vocab_size
+    batch["input_ids"] = batch["input_ids"] % v
+    batch["labels"] = np.where(batch["labels"] >= 0, batch["labels"] % v,
+                               batch["labels"])
+    jbatch = {k: jnp.asarray(v_) for k, v_ in batch.items()
+              if k != "tiles_per_sample"}
+    _, _, metrics = step(params, opt.init(params), jbatch)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_end_tag_false_strips_trailing_sep(tmp_path):
+    data = [
+        {"conversations": [
+            {"from": "human", "value": "q"}, {"from": "gpt", "value": "a"}],
+         "end_tag": False},
+        {"conversations": [
+            {"from": "human", "value": "q"}, {"from": "gpt", "value": "a"}]},
+    ]
+    chat = tmp_path / "chat.json"
+    chat.write_text(json.dumps(data))
+    ds = ConversationDataset([DatasetSpec(str(chat))], sp_encode, BOS, EOS,
+                             pad_id=PAD, args=DataArgs(image_size=56))
+    no_tag = ds[0]["input_ids"] if "end_tag" in ds.samples[0] else ds[1]["input_ids"]
+    with_tag = ds[1]["input_ids"] if "end_tag" in ds.samples[0] else ds[0]["input_ids"]
+    assert len(no_tag) == len(with_tag) - 1
+
+
+def test_media_keyed_sample_without_token_degrades(tmp_path, capsys):
+    from PIL import Image
+
+    p = tmp_path / "x.png"
+    Image.fromarray(np.zeros((50, 50, 3), np.uint8)).save(p)
+    data = [{"conversations": [
+        {"from": "human", "value": "no token here"},
+        {"from": "gpt", "value": "ok"},
+    ], "image": str(p)}]
+    chat = tmp_path / "chat.json"
+    chat.write_text(json.dumps(data))
+    ds = ConversationDataset([DatasetSpec(str(chat))], sp_encode, BOS, EOS,
+                             pad_id=PAD, args=DataArgs(image_size=56))
+    s = ds[0]  # must not raise
+    assert s["modality"] == "lang"
+    assert "no media token" in capsys.readouterr().out

@@ -32,6 +32,8 @@ import numpy as np
 
 from vita_tpu.constants import (
     AUDIO_TOKEN_INDEX,
+    DEFAULT_IMAGE_TOKEN,
+    DEFAULT_VIDEO_TOKEN,
     IGNORE_INDEX,
     IMAGE_TOKEN_INDEX,
     IMAGE_TOKENS_PER_PATCH,
@@ -62,6 +64,10 @@ class DataArgs:
     # 'patch' (InternVL tiling) or 'framecat' (5-tuple mosaic groups for
     # both images and video; must match VITAConfig.vision_fusion)
     vision_fusion: str = "patch"
+    # LLM tokens per tile group — must match VITAConfig.image_tokens_per_group
+    # (reducing projectors emit 64, not 256; a mismatch silently misaligns
+    # the cumsum-gather fusion)
+    image_tokens_per_group: int = IMAGE_TOKENS_PER_PATCH
 
     @property
     def group_tiles(self) -> int:
@@ -113,15 +119,20 @@ class ConversationDataset:
             out.append(n if mm else -n)
         return out
 
-    def _media_path(self, sample: Dict, key: str) -> str:
-        path = sample[key]
-        if isinstance(path, list):
-            path = path[0]
+    def _media_paths(self, sample: Dict, key: str) -> List[str]:
+        """All media paths for ``key`` (the reference loads EVERY image /
+        audio clip of a sample, neg_frameCat.py:776-840, 1007-1025)."""
+        paths = sample[key]
+        if not isinstance(paths, list):
+            paths = [paths]
         set_id = sample.get("set")
         if isinstance(set_id, list):
             set_id = set_id[0]
         folder = self.folder_dict.get(set_id, "") if set_id else ""
-        return os.path.join(folder, path) if folder else path
+        return [os.path.join(folder, p) if folder else p for p in paths]
+
+    def _media_path(self, sample: Dict, key: str) -> str:
+        return self._media_paths(sample, key)[0]
 
     def __getitem__(self, i: int) -> Dict[str, Any]:
         sample = self.samples[i]
@@ -139,30 +150,35 @@ class ConversationDataset:
         framecat = self.args.vision_fusion == "framecat"
         if "image" in sample:
             modality = "image"
-            try:
-                from PIL import Image
+            patch_nums = []
+            for img_path in self._media_paths(sample, "image"):
+                try:
+                    from PIL import Image
 
-                arr = np.asarray(Image.open(self._media_path(sample, "image")).convert("RGB"))
-                if framecat:
-                    from vita_tpu.data.image import dynamic_tile_framecat
+                    arr = np.asarray(Image.open(img_path).convert("RGB"))
+                    if framecat:
+                        from vita_tpu.data.image import dynamic_tile_framecat
 
-                    tiles = dynamic_tile_framecat(
-                        arr, self.args.min_patches, self.args.max_patches,
-                        self.args.image_size,
-                    )
-                else:
-                    tiles = dynamic_tile(
-                        arr, self.args.min_patches, self.args.max_patches,
-                        self.args.image_size, self.args.use_thumbnail,
-                    )
-            except Exception as e:
-                print(f"WARNING: cannot load image {sample.get('image')}: {e}")
-                tiles = [
-                    np.zeros((self.args.image_size, self.args.image_size, 3), np.uint8)
-                ] * self.args.group_tiles
-            # one <image> sentinel per tile group (tiles/5 for framecat,
-            # ...neg_frameCat.py:1303 `[len(processed_images) // 5]`)
-            patch_nums = [len(tiles) // self.args.group_tiles]
+                        t = dynamic_tile_framecat(
+                            arr, self.args.min_patches, self.args.max_patches,
+                            self.args.image_size,
+                        )
+                    else:
+                        t = dynamic_tile(
+                            arr, self.args.min_patches, self.args.max_patches,
+                            self.args.image_size, self.args.use_thumbnail,
+                        )
+                except Exception as e:
+                    print(f"WARNING: cannot load image {img_path}: {e}")
+                    t = [
+                        np.zeros((self.args.image_size, self.args.image_size, 3),
+                                 np.uint8)
+                    ] * self.args.group_tiles
+                tiles.extend(t)
+                # one <image> sentinel per tile group per image (tiles/5
+                # for framecat, ...neg_frameCat.py:1303; per-image entries
+                # concatenate like the reference's patch_num list :776-840)
+                patch_nums.append(len(t) // self.args.group_tiles)
         elif "video" in sample:
             modality = "video"
             try:
@@ -185,19 +201,42 @@ class ConversationDataset:
                 ] * (5 if framecat else 4)
             patch_nums = [1] * (len(tiles) // self.args.group_tiles)
 
-        audio_feats = None
+        audio_clips: List[np.ndarray] = []
         if has_audio:
-            path = sample["audio"]
-            if isinstance(path, list):
-                path = path[0]
-            full = os.path.join(self.audio_folder, path) if self.audio_folder else path
-            try:
-                audio_feats, _ = wav_to_features(full)
-            except Exception as e:
-                print(f"WARNING: cannot open {full}: {e}")
-                audio_feats = np.zeros((DUMMY_AUDIO_FRAMES, 80), np.float32)
+            paths = sample["audio"]
+            if not isinstance(paths, list):
+                paths = [paths]
+            for path in paths:
+                full = (
+                    os.path.join(self.audio_folder, path)
+                    if self.audio_folder else path
+                )
+                try:
+                    feats, _ = wav_to_features(full)
+                except Exception as e:
+                    print(f"WARNING: cannot open {full}: {e}")
+                    feats = np.zeros((DUMMY_AUDIO_FRAMES, 80), np.float32)
+                audio_clips.append(feats)
 
-        if "video" in sample:
+        # media-keyed sample whose text carries no media token: degrade to
+        # a lang sample (the mixtral_two renderer requires the token for
+        # image/video modality) instead of aborting the loader
+        if has_image and not any(
+            DEFAULT_IMAGE_TOKEN in t["value"] or DEFAULT_VIDEO_TOKEN in t["value"]
+            for t in turns
+        ):
+            print(f"WARNING: sample {i} has media but no media token; "
+                  "treating as lang")
+            has_image = False
+            tiles = []
+            modality = "lang"
+
+        if not (has_image or has_audio):
+            # pure-language samples bypass media normalization entirely —
+            # the reference's lang branch calls preprocess() directly with
+            # NO state tokens (neg_frameCat.py:1089-1093)
+            norm = turns
+        elif "video" in sample:
             norm = normalize_media_tokens(
                 turns, image_token_num=len(tiles) // self.args.group_tiles,
                 patch_nums=patch_nums, inserted_id=inserted_id,
@@ -210,6 +249,7 @@ class ConversationDataset:
             norm, self.encode, modality, has_media=has_image or has_audio,
             bos_id=self.bos_id, eos_id=self.eos_id, pad_id=self.pad_id,
             model_max_length=self.args.model_max_length,
+            end_tag=sample.get("end_tag", True),
         )
 
         out: Dict[str, Any] = {"modality": modality}
@@ -222,18 +262,19 @@ class ConversationDataset:
                 (self.args.group_tiles, self.args.image_size, self.args.image_size, 3),
                 np.float32,
             )
-        if audio_feats is not None and len(audio_feats):
-            out["audio"] = audio_feats
+        if audio_clips:
+            out["audio"] = audio_clips[0]
+            if len(audio_clips) > 1:
+                out["audio_clips"] = audio_clips  # multi-clip (collator)
         elif self.args.is_multimodal:
             out["audio"] = np.zeros((DUMMY_AUDIO_FRAMES, 80), np.float32)
 
         if self.args.expand_media:
             input_ids, labels = expand_sample(
                 input_ids, labels,
-                image_slots=IMAGE_TOKENS_PER_PATCH,
-                audio_slots=audio_token_count(len(out["audio"]))
-                if "audio" in out and has_audio
-                else 0,
+                image_slots=self.args.image_tokens_per_group,
+                audio_slots=[audio_token_count(len(c)) for c in audio_clips]
+                if has_audio else 0,
             )
         out["input_ids"] = input_ids
         out["labels"] = labels
@@ -244,17 +285,28 @@ def expand_sample(
     input_ids: np.ndarray,
     labels: np.ndarray,
     image_slots: int,
-    audio_slots: int,
+    audio_slots,  # int (all sentinels) or per-clip counts consumed in order
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Expand each media sentinel to its feature count; labels get IGNORE."""
+    """Expand each media sentinel to its feature count; labels get IGNORE.
+
+    ``audio_slots`` as a sequence assigns the k-th <audio> sentinel the
+    k-th clip's token count (the reference expands per clip in order,
+    neg_frameCat.py:1007-1025); extra sentinels reuse the last count."""
+    per_audio = list(audio_slots) if isinstance(audio_slots, (list, tuple)) else None
     ids_out: List[int] = []
     lab_out: List[int] = []
+    k_aud = 0
     for t, l in zip(input_ids.tolist(), labels.tolist()):
         if t == IMAGE_TOKEN_INDEX:
             ids_out.extend([IMAGE_TOKEN_INDEX] * image_slots)
             lab_out.extend([IGNORE_INDEX] * image_slots)
         elif t == AUDIO_TOKEN_INDEX:
-            n = max(audio_slots, 1)
+            if per_audio is not None:
+                n = per_audio[min(k_aud, len(per_audio) - 1)] if per_audio else 1
+                k_aud += 1
+            else:
+                n = audio_slots
+            n = max(n, 1)
             ids_out.extend([AUDIO_TOKEN_INDEX] * n)
             lab_out.extend([IGNORE_INDEX] * n)
         else:
@@ -306,7 +358,38 @@ class Collator:
             batch["images"] = imgs.reshape((b * max_tiles,) + shape)
             batch["tiles_per_sample"] = np.array(max_tiles)
 
-        if any("audio" in s for s in samples):
+        if any("audio_clips" in s for s in samples):
+            # multi-clip batch: ALL samples' clips stack on the leading
+            # axis and audio_select (clip_idx,row_idx per token position)
+            # addresses each sample's own clips in the global stack — the
+            # same multi-clip merge serving uses (models/vita.py)
+            from vita_tpu.tokenization import audio_select_arrays, audio_token_count
+
+            all_clips: List[np.ndarray] = []
+            ci = np.zeros((b, seq), np.int32)
+            ri = np.zeros((b, seq), np.int32)
+            for k, s in enumerate(samples):
+                clips = s.get("audio_clips") or ([s["audio"]] if "audio" in s else [])
+                base = len(all_clips)
+                if clips and audio_mask[k].any():
+                    counts = [audio_token_count(len(c)) for c in clips]
+                    c_k, r_k = audio_select_arrays(audio_mask[k], counts)
+                    ci[k] = np.where(audio_mask[k], c_k + base, 0)
+                    ri[k] = np.where(audio_mask[k], r_k, 0)
+                all_clips.extend(clips)
+            if not all_clips:
+                all_clips = [np.zeros((1, 80), np.float32)]
+            max_t = max(c.shape[0] for c in all_clips)
+            audio = np.zeros((len(all_clips), max_t, 80), np.float32)
+            lengths = np.zeros((len(all_clips),), np.int32)
+            for j, c in enumerate(all_clips):
+                audio[j, : c.shape[0]] = c
+                lengths[j] = c.shape[0]
+            batch["speech"] = audio
+            batch["speech_lengths"] = lengths
+            batch["audio_select_clip"] = ci
+            batch["audio_select_row"] = ri
+        elif any("audio" in s for s in samples):
             max_t = max(s["audio"].shape[0] for s in samples if "audio" in s)
             audio = np.zeros((b, max_t, 80), np.float32)
             lengths = np.zeros((b,), np.int32)

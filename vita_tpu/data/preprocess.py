@@ -43,9 +43,11 @@ Turn = Dict[str, str]  # {"from": "human"|"gpt", "value": str}
 
 
 def _front_load(text: str, token: str) -> str:
-    """If text ends with a run of `token`, move the run to the front."""
-    text = text.replace(token + "\n", token).strip()
-    text = text.replace("\n" + token, token).strip()
+    """If text ends with a run of `token`, move the run to the front.
+
+    NOTE: newline-adjacency stripping is NOT done here — the reference
+    normalizes newlines around DEFAULT_IMAGE_TOKEN only (neg_frameCat.py
+    :61-71), never around the video token; callers do that separately."""
     if text.endswith(token):
         n = text.count(token)
         text = text.replace(token * n, "").strip()
@@ -65,6 +67,10 @@ def normalize_media_tokens(
     for i, t in enumerate(turns):
         v = t["value"]
         if DEFAULT_IMAGE_TOKEN in v or DEFAULT_VIDEO_TOKEN in v:
+            # newline normalization applies to the IMAGE token only
+            # (reference neg_frameCat.py:61-71); '\n<video>' stays intact
+            v = v.replace(DEFAULT_IMAGE_TOKEN + "\n", DEFAULT_IMAGE_TOKEN).strip()
+            v = v.replace("\n" + DEFAULT_IMAGE_TOKEN, DEFAULT_IMAGE_TOKEN).strip()
             v = _front_load(v, DEFAULT_IMAGE_TOKEN)
             v = _front_load(v, DEFAULT_VIDEO_TOKEN)
             n_img = v.count(DEFAULT_IMAGE_TOKEN)

@@ -69,9 +69,14 @@ def _grab_frames(cap, wanted, size):
         if idx - pos > _SEEK_GAP:
             cap.set(cv2.CAP_PROP_POS_FRAMES, idx)
             got = int(cap.get(cv2.CAP_PROP_POS_FRAMES))
-            if 0 <= got <= idx:  # some backends land short; grab the rest
+            if got >= 0:
+                # track wherever the backend actually landed — including
+                # PAST the target (keyframe snap): ignoring the move would
+                # mislabel every subsequent frame in the clip
                 pos = got
-        while pos <= idx:
+        # serve idx, or the next decodable frame when the seek overshot
+        target = max(idx, pos)
+        while pos <= target:
             if not cap.grab():
                 return out
             pos += 1

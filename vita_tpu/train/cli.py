@@ -126,6 +126,11 @@ def main(argv: Optional[List[str]] = None) -> int:
             max_patches=args.max_patches,
             model_max_length=args.model_max_length,
             use_thumbnail=cfg.vision.image_size >= 448,
+            # the dataset's tiling scheme and per-group token count MUST
+            # match the model's fusion config or merge_embeddings
+            # misaligns (framecat 5-tuples; reducing projectors emit 64)
+            vision_fusion=cfg.vision_fusion,
+            image_tokens_per_group=cfg.image_tokens_per_group,
         ),
     )
     print(f"[data] {len(ds)} samples from {len(args.data)} file(s)")

@@ -124,6 +124,12 @@ def loss_fn(
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """batch: input_ids [B,S], labels [B,S], image_mask/audio_mask [B,S],
     attn_valid [B,S], images [N,H,W,3]?, speech [B,T,80]?, speech_lengths."""
+    # multi-clip audio batches carry (clip_idx, row_idx) addressing — the
+    # Collator's audio_select_clip/_row (per-sample clips stacked on the
+    # speech leading axis)
+    audio_select = None
+    if "audio_select_clip" in batch:
+        audio_select = (batch["audio_select_clip"], batch["audio_select_row"])
     logits, _, aux = vita.forward(
         params, cfg,
         batch["input_ids"],
@@ -132,6 +138,7 @@ def loss_fn(
         images=batch.get("images"),
         speech=batch.get("speech"),
         speech_lengths=batch.get("speech_lengths"),
+        audio_select=audio_select,
         attn_valid=batch.get("attn_valid"),
         token_mask=batch.get("attn_valid"),
         mesh=mesh,
