@@ -184,14 +184,16 @@ def test_serving_app_session_replays_image(tiny):
     Image.fromarray(np.full((32, 32, 3), 128, np.uint8)).save(buf, "PNG")
     img_b64 = base64.b64encode(buf.getvalue()).decode()
 
-    r1, rec1 = app.build_request(
+    r1, rec1, _rel_rec1 = app.build_request(
         {"prompt": "what is this?", "image_b64": img_b64, "session_id": "s1"}
     )
     assert r1.images is not None
     rec1("<3>a grey square")
-    r2, rec2 = app.build_request({"prompt": "sure?", "session_id": "s1"})
+    _rel_rec1()  # merge->generate->record is lock-serialized per session
+    r2, rec2, _rel_rec2 = app.build_request({"prompt": "sure?", "session_id": "s1"})
     rec2("<3>yes")
-    r3, _ = app.build_request({"prompt": "describe it again", "session_id": "s1"})
+    _rel_rec2()
+    r3, _, _rel3 = app.build_request({"prompt": "describe it again", "session_id": "s1"})
     # turn-1 image replayed into turn 3
     assert r3.images is not None and r3.images.shape[0] == 1
     assert int(np.sum(r3.image_mask)) == cfg.vision.out_tokens
@@ -210,4 +212,5 @@ def test_serving_app_session_replays_image(tiny):
             break
         time.sleep(0.1)
     assert done and len(r3.tokens) > 0
+    _rel3()
     app.thread.stop()

@@ -157,3 +157,38 @@ def test_mixtral_int4_decode_mode():
     a, b = np.asarray(ref).ravel(), np.asarray(got).ravel()
     cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
     assert cos > 0.97, cos  # tiny width; >=0.999 at full width (bench)
+
+
+def test_int4_kernel_per_channel_blocked_f():
+    """The Pallas q4 kernel with DEFAULT per-channel quantization and
+    F > block_f (every production shape): the single w_down scale group
+    must serve every F block — deriving a per-block group count divides
+    to zero and broke the BlockSpec (regression, found on real TPU)."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vita_tpu.ops.moe import init_moe_params
+    from vita_tpu.ops.moe_decode import (
+        gather_expert_ffn,
+        gather_expert_ffn_q4,
+        quantize_expert_weights_int4,
+    )
+
+    e, d, f, t = 2, 128, 1024, 3  # f > DEFAULT block_f? kernel blocks at 512
+    params = init_moe_params(jax.random.PRNGKey(0), e, d, f)
+    qp = quantize_expert_weights_int4(params)  # group=0: ONE F scale group
+    assert qp["w_down_scale"].shape[1] == 1
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((t, d)) * 0.3, jnp.float32)
+    idx = jnp.asarray(rng.integers(0, e, size=(t, 2)), jnp.int32)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = gather_expert_ffn_q4(x, idx, qp, block_f=512)
+    want = gather_expert_ffn(
+        x, idx, params["w_gate"], params["w_up"], params["w_down"]
+    )
+    # int4 quantization error bounds the diff; direction must agree
+    cos = np.sum(np.asarray(got) * np.asarray(want)) / (
+        np.linalg.norm(got) * np.linalg.norm(want)
+    )
+    assert cos > 0.97

@@ -98,7 +98,6 @@ def main(argv: Optional[List[str]] = None) -> int:
     args = p.parse_args(argv)
 
     import jax
-    import jax.numpy as jnp
 
     from vita_tpu.parallel.distributed import enable_compile_cache
 
@@ -126,6 +125,14 @@ def main(argv: Optional[List[str]] = None) -> int:
         decode = lambda ids: hf_tok.decode(ids, skip_special_tokens=True)
     print(f"[load] {time.time()-t0:.1f}s")
 
+    if args.image and args.video:
+        p.error("--image and --video are mutually exclusive")
+    if args.audio and args.question:
+        # the reference hard-asserts exactly one of audio/question
+        # (video_audio_demo.py:145); silently dropping the typed text
+        # would be worse than refusing
+        p.error("provide either --audio or --question, not both "
+                "(the audio clip IS the question)")
     modality = "image" if args.image else "video" if args.video else "lang"
     has_audio = args.audio is not None
 

@@ -329,9 +329,12 @@ def streaming_step(
     buf = jnp.take_along_axis(buf, idx[..., None], axis=1)
     t_total = tail_len + chunk_frames
 
-    t_out = subsampled_length(t_total)  # dynamic scalar <= max_out
+    # clamp: fewer than 3 buffered frames subsample to NOTHING — the raw
+    # formula goes negative there, which would corrupt the carried state
+    # (negative consumed, inflated tail, decremented positions)
+    t_out = jnp.maximum(subsampled_length(t_total), 0)
     consumed = 4 * t_out
-    new_tail_len = t_total - consumed
+    new_tail_len = jnp.clip(t_total - consumed, 0, TAIL_MAX)
 
     # subsample the (padded) buffer; outputs beyond t_out are garbage->masked
     sub_in = buf[:, :, :]  # [B, total_buf, F]
@@ -374,8 +377,11 @@ def streaming_step(
             [jnp.arange(left_context) < ctx_len, jnp.arange(max_out) < t_out]
         )
 
+        # positions WRAP at the table size (reference attention.py:116
+        # pe_index % max_len) — clipping would collapse all keys onto one
+        # position in long streaming sessions and flatten the rel-pos term
         p_all = (
-            jnp.take(pe_full, jnp.clip(kv_abs, 0, cfg.max_positions - 1), axis=0)
+            jnp.take(pe_full, jnp.mod(kv_abs, cfg.max_positions), axis=0)
             @ lp["pos_w"]
         ).reshape(-1, nh, hd)
         ac = jnp.einsum("bqhd,bkhd->bhqk", q + lp["pos_bias_u"], k_all,
@@ -392,13 +398,11 @@ def streaming_step(
         h = h + (hn @ lp["ffn2_w"] + lp["ffn2_b"])
 
         # roll this layer's cache: keep the last `left_context` of valid kv
-        # ordered [old ctx (ctx_len) | new (t_out)] within the padded concat
+        # ordered [old ctx (ctx_len) | new (t_out)]. The ctx cache is
+        # left-aligned [0, ctx_len); new valid entries sit at
+        # [left_context, left_context + t_out) of the padded concat.
         nvalid = jnp.minimum(ctx_len + t_out, left_context)
-        # gather indices of the last nvalid valid entries, right-aligned
         total = left_context + max_out
-        # valid entries are ctx slots [left-ctx_len ... wait: ctx stored left-aligned
-        # ctx cache is left-aligned [0..ctx_len), new valid [left..left+t_out)
-        # build compact order: old then new
         order = jnp.concatenate([jnp.arange(left_context), left_context + jnp.arange(max_out)])
         is_valid = kv_valid
         # stable partition: valid entries first

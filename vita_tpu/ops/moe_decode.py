@@ -128,26 +128,6 @@ def gather_expert_ffn(
     return out[:, 0].reshape(t, k, d)
 
 
-def moe_ffn_decode(
-    params,  # {"router", "w_gate", "w_up", "w_down"} as in ops.moe
-    x: jnp.ndarray,  # [T, D]
-    top_k: int = 2,
-    block_f: int = DEFAULT_BLOCK_F,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Drop-in for ops.moe.moe_ffn on the decode path: exact top-k outputs
-    (identical routing/combination math to mode='dense'), selected-expert
-    weight reads only. Returns (out [T, D], aux_loss=0)."""
-    router_logits = jnp.einsum(
-        "td,de->te", x.astype(jnp.float32), params["router"].astype(jnp.float32)
-    )
-    topk_w, topk_i, _ = route_topk(router_logits, top_k)
-    expert_out = gather_expert_ffn(
-        x, topk_i, params["w_gate"], params["w_up"], params["w_down"], block_f
-    )  # [T, k, D]
-    out = jnp.sum(expert_out * topk_w[..., None].astype(x.dtype), axis=1)
-    return out.astype(x.dtype), jnp.zeros((), jnp.float32)
-
-
 # ---------------------------------------------------------------------------
 # int8 weight-only experts (2x less HBM traffic on the dominant stream)
 # ---------------------------------------------------------------------------
@@ -410,7 +390,19 @@ def gather_expert_ffn_q4(
     flat_idx = topk_idx.reshape(t * k).astype(jnp.int32)
     x_rep = jnp.broadcast_to(jnp.repeat(x, k, axis=0)[:, None, :], (t * k, 8, d))
     n_dg = qparams["w_gate_scale"].shape[1]  # D/group
-    n_fg_per_block = qparams["w_down_scale"].shape[1] * bf // f  # bf/group
+    # w_down scales are blocked along F together with the weights. With
+    # per-channel quantization (group=0 -> ONE group spanning F) the same
+    # [1, D] scale row serves every F block; deriving a per-block count
+    # would be 0 whenever f > bf (every production shape) and break the
+    # BlockSpec — map all blocks to group row 0 instead.
+    ng_f = qparams["w_down_scale"].shape[1]
+    if ng_f == 1:
+        wds_spec = pl.BlockSpec((1, 1, d), lambda r, fi, idx: (idx[r], 0, 0))
+    else:
+        n_fg_per_block = ng_f * bf // f  # bf/group
+        wds_spec = pl.BlockSpec(
+            (1, n_fg_per_block, d), lambda r, fi, idx: (idx[r], fi, 0)
+        )
 
     out = pl.pallas_call(
         _gather_ffn_kernel_q4,
@@ -424,7 +416,7 @@ def gather_expert_ffn_q4(
                 pl.BlockSpec((1, d // 2, bf), lambda r, fi, idx: (idx[r], 0, fi)),
                 pl.BlockSpec((1, n_dg, bf), lambda r, fi, idx: (idx[r], 0, fi)),
                 pl.BlockSpec((1, bf, d // 2), lambda r, fi, idx: (idx[r], fi, 0)),
-                pl.BlockSpec((1, n_fg_per_block, d), lambda r, fi, idx: (idx[r], fi, 0)),
+                wds_spec,
             ],
             out_specs=pl.BlockSpec((1, 8, d), lambda r, fi, idx: (r, 0, 0)),
             scratch_shapes=[pltpu.VMEM((8, d), jnp.float32)],
