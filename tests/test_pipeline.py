@@ -209,3 +209,26 @@ def test_pp_full_train_step():
     assert np.isfinite(float(m_pp["loss"]))
     np.testing.assert_allclose(float(m_pp["loss"]), float(m_ref["loss"]),
                                rtol=5e-3)
+
+
+def test_pipeline_composes_with_ring_attention_and_tp():
+    """pipe=2 x model=2 x seq=2 on mesh8: pp_layer threads the mesh into
+    the attention island (nested shard_map via the context abstract
+    mesh), so ring attention + TP head sharding run INSIDE the pipeline.
+    Logits must equal the unpipelined unsharded pass exactly; the MoE
+    aux term is per-microbatch (documented GPipe deviation)."""
+    import dataclasses
+
+    cfg = mixtral.MixtralConfig.tiny(attn_backend="flash")
+    cfg_pp = dataclasses.replace(cfg, pipe_stages=2, pipe_microbatches=2)
+    params = mixtral.init_params(jax.random.PRNGKey(0), cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 32), 0, cfg.vocab_size)
+    mesh = make_mesh((1, 1, 1, 2, 2, 2))
+
+    ref, _, _ = mixtral.forward(params, mixtral.MixtralConfig.tiny(),
+                                input_ids=ids)
+    got, _, aux = mixtral.forward(params, cfg_pp, input_ids=ids, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-5, atol=2e-5)
+    assert np.isfinite(float(aux))

@@ -382,7 +382,8 @@ def forward(
             bm, sm, _ = x.shape
             h = rms_norm(x, lp["ln_attn"], cfg.rms_eps)
             attn_out, _, _ = _attention_block(
-                lp["attn"], cfg, h, pos_mb, valid_mb, None, None, None
+                lp["attn"], cfg, h, pos_mb, valid_mb, None, None, None,
+                mesh=mesh,
             )
             x = x + attn_out
             h = rms_norm(x, lp["ln_moe"], cfg.rms_eps)

@@ -30,15 +30,23 @@ def initialize(
     DCN clusters launched by generic schedulers (the torchrun analog:
     MASTER_ADDR/RANK/WORLD_SIZE env vars are honored as a fallback).
     """
-    if num_processes in (None, 1) and coordinator_address is None:
+    if num_processes == 1:
+        return  # explicit single-process: never fall back to env vars
+    if num_processes is None and coordinator_address is None:
         world = int(os.environ.get("WORLD_SIZE", "1"))
         if world <= 1:
             return
+        if "RANK" not in os.environ:
+            raise RuntimeError(
+                f"WORLD_SIZE={world} is set but RANK is not: every host "
+                "would claim process_id 0 and the coordinator would hang; "
+                "set RANK per host (torchrun semantics) or pass process_id"
+            )
         coordinator_address = os.environ.get("MASTER_ADDR", "127.0.0.1") + ":" + os.environ.get(
             "MASTER_PORT", "8476"
         )
         num_processes = world
-        process_id = int(os.environ.get("RANK", "0"))
+        process_id = int(os.environ["RANK"])
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -46,7 +54,10 @@ def initialize(
             process_id=process_id,
         )
     except RuntimeError as e:
-        if "already initialized" not in str(e):
+        # jax 0.9 raises 'distributed.initialize should only be called
+        # once.'; older versions said 'already initialized'
+        msg = str(e)
+        if "already initialized" not in msg and "only be called once" not in msg:
             raise
 
 

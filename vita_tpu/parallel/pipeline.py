@@ -64,7 +64,14 @@ def pipeline_layer_stack(
     ``layer_body(lp, x_mb, consts_mb) -> (x_mb, aux_scalar)`` applies ONE
     layer to one microbatch (consts_mb are the [B_mb, ...] slices of
     ``consts``). Returns (x_out [B, S_seq, D], aux_total summed over layers
-    and averaged over microbatches like an unpipelined pass).
+    and equal-weight averaged over microbatches).
+
+    NOTE: the MoE load-balance aux is NONLINEAR in its batch statistics
+    (E * sum f_e * p_e with per-batch means), so the per-microbatch
+    average is not bit-identical to the unpipelined whole-batch aux —
+    the standard GPipe property; logits and their grads ARE exact
+    (tests/test_pipeline.py). With ragged token masks the difference
+    grows with mask skew across microbatches.
     """
     if PIPE not in mesh.shape:
         raise ValueError(f"mesh has no '{PIPE}' axis: {dict(mesh.shape)}")

@@ -106,16 +106,36 @@ def _ring_island(q, k, v, lengths, *, n, causal, scale, remat):
         w_old = jnp.exp(lse_acc - new_lse).transpose(0, 2, 1)[..., None]
         w_new = jnp.exp(lse_t - new_lse).transpose(0, 2, 1)[..., None]
         o_acc = o_acc * w_old + o_t.astype(jnp.float32) * w_new
-        k_blk = jax.lax.ppermute(k_blk, SEQ, perm)
-        v_blk = jax.lax.ppermute(v_blk, SEQ, perm)
+        # skip the last rotation: its result is discarded, and the wasted
+        # ICI hop (plus its transpose in backward) costs 1/n of the ring
+        # traffic. t is the uniform scan index, so every device takes the
+        # same branch.
+        k_blk, v_blk = jax.lax.cond(
+            t < n - 1,
+            lambda kv: (jax.lax.ppermute(kv[0], SEQ, perm),
+                        jax.lax.ppermute(kv[1], SEQ, perm)),
+            lambda kv: kv,
+            (k_blk, v_blk),
+        )
         return (k_blk, v_blk, o_acc, new_lse), None
 
     if remat:
         step = jax.checkpoint(step)
     b, _, hq, d = q.shape
     # constants must be marked device-varying to type-match the carry
-    # outputs under shard_map's varying-axis tracking
-    vary = lambda x: jax.lax.pcast(x, (SEQ, MODEL), to="varying")
+    # outputs under shard_map's varying-axis tracking. When this island is
+    # NESTED inside another manual region (the pipeline's 'pipe' axis),
+    # the enclosing manual axes are varying too and must be included.
+    from jax.sharding import AxisType
+
+    vary_axes = {SEQ, MODEL}
+    am = jax.sharding.get_abstract_mesh()
+    if am is not None and not am.empty:
+        vary_axes |= {
+            name for name, ty in zip(am.axis_names, am.axis_types)
+            if ty == AxisType.Manual
+        }
+    vary = lambda x: jax.lax.pcast(x, tuple(vary_axes), to="varying")
     init = (
         k, v,
         vary(jnp.zeros((b, s_loc, hq, d), jnp.float32)),
@@ -154,12 +174,14 @@ def ring_flash_mha(
         raise ValueError("ring attention requires Sq == Skv (no KV cache)")
     scale = scale if scale is not None else d**-0.5
 
+    from vita_tpu.parallel.sharded_ops import _island_mesh
+
     spec = P(None, SEQ, MODEL, None)
     island = jax.shard_map(
         lambda q, k, v, l: _ring_island(
             q, k, v, l, n=n, causal=causal, scale=scale, remat=remat
         ),
-        mesh=mesh,
+        mesh=_island_mesh(mesh),
         in_specs=(spec, spec, spec, P()),
         out_specs=spec,
         axis_names={SEQ, MODEL},

@@ -37,6 +37,17 @@ def _axis(mesh: Optional[Mesh], name: str) -> int:
     return int(mesh.shape[name]) if mesh is not None and name in mesh.shape else 1
 
 
+def _island_mesh(mesh: Mesh):
+    """Mesh to hand an inner shard_map. Inside another shard_map island
+    (e.g. the pipeline's manual 'pipe' region) jax requires the CONTEXT
+    abstract mesh — whose already-manual axes are typed Manual — not the
+    outer concrete mesh."""
+    am = jax.sharding.get_abstract_mesh()
+    if am is not None and not am.empty:
+        return am
+    return mesh
+
+
 def sharded_paged_attention(
     q: jnp.ndarray,  # [B, Hq, d]
     k_pages: jnp.ndarray,  # [L, Hkv, P, page, d]
@@ -123,6 +134,16 @@ def sharded_flash_mha(
                 "seq-parallel attention supports the cacheless path only "
                 "(Sq == Skv); KV-cache decode/prefill needs seq axis 1"
             )
+        mp = _axis(mesh, MODEL)
+        if q.shape[2] % mp or k.shape[2] % mp:
+            raise ValueError(
+                f"heads ({q.shape[2]}q/{k.shape[2]}kv) not divisible by "
+                f"model axis {mp}"
+            )
+        # q_offset is dropped deliberately: with Sq == Skv any common (or
+        # per-row) position base shifts query AND key positions equally,
+        # so the causal triangle is invariant — the ring's idx/src offset
+        # math already encodes the relative positions exactly
         return ring_flash_mha(q, k, v, kv_len, causal=causal, mesh=mesh)
 
     tp = _axis(mesh, MODEL)
@@ -141,7 +162,7 @@ def sharded_flash_mha(
 
     hs = P(None, None, MODEL, None)
     return jax.shard_map(
-        f, mesh=mesh,
+        f, mesh=_island_mesh(mesh),
         in_specs=(hs, hs, hs, P(), P()),
         out_specs=hs,
         axis_names={MODEL},
@@ -185,10 +206,10 @@ def sharded_gather_ffn(
     ep = _axis(mesh, EXPERT)
     t, k = topk_idx.shape
 
-    def run_local(x_s, idx_rows, weights, e_local):
+    def run_local(x_s, idx_rows, weights):
         """idx_rows: [T*k] local flat (layer*E_local + e_loc) indices,
         already expert-sorted; rows with e out of range are clamped and
-        masked by the caller."""
+        masked by the caller (all index translation happens there)."""
         flat = {
             name: w.reshape((w.shape[0] * w.shape[1],) + w.shape[2:])
             for name, w in weights.items()
@@ -208,7 +229,7 @@ def sharded_gather_ffn(
         flat, order, inv = _sort_pairs_by_expert(topk_idx)
         x_rows = jnp.repeat(x, k, axis=0)[order]
         idx_rows = flat[order] + layer_idx * n_experts
-        out = run_local(x_rows, idx_rows, moe_stacked, n_experts)
+        out = run_local(x_rows, idx_rows, moe_stacked)
         return out.reshape(t * k, -1)[inv].reshape(t, k, x.shape[-1])
 
     if n_experts % ep:
@@ -225,7 +246,7 @@ def sharded_gather_ffn(
         e_loc = jnp.clip(e_sorted - e0, 0, e_local - 1)
         x_rows = jnp.repeat(x, k, axis=0)[order]
         idx_rows = e_loc + layer_idx * e_local
-        out = run_local(x_rows, idx_rows, weights, e_local)
+        out = run_local(x_rows, idx_rows, weights)
         out = out.reshape(t * k, -1) * local[:, None].astype(out.dtype)
         out = out[inv].reshape(t, k, x.shape[-1])
         return jax.lax.psum(out, EXPERT)
