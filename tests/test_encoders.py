@@ -125,3 +125,67 @@ def test_pixel_shuffle_matches_reference_permutation():
         return y.transpose(0, 2, 1, 3)
 
     np.testing.assert_array_equal(np.asarray(iv.pixel_shuffle(jnp.asarray(x))), ref(x))
+
+
+def test_pos_embed_interpolation_matches_torch_bicubic():
+    """interpolate_pos_embed must match torch F.interpolate(mode='bicubic',
+    align_corners=False) — the reference's _get_pos_embed — not
+    jax.image's different cubic kernel."""
+    import torch
+    import torch.nn.functional as F
+
+    from vita_tpu.models.internvit import interpolate_pos_embed
+
+    rng = np.random.default_rng(0)
+    d, src, dst = 8, 32, 16
+    pos = rng.standard_normal((1, src * src + 1, d)).astype(np.float32)
+
+    got = np.asarray(interpolate_pos_embed(jnp.asarray(pos), src, dst))
+    grid = torch.from_numpy(pos[:, 1:]).reshape(1, src, src, d).permute(0, 3, 1, 2)
+    want_grid = F.interpolate(grid, size=(dst, dst), mode="bicubic",
+                              align_corners=False)
+    want = np.concatenate(
+        [pos[:, :1],
+         want_grid.permute(0, 2, 3, 1).reshape(1, dst * dst, d).numpy()],
+        axis=1,
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    # upsampling direction too
+    got_up = np.asarray(interpolate_pos_embed(jnp.asarray(pos), src, 40))
+    grid_up = F.interpolate(grid, size=(40, 40), mode="bicubic",
+                            align_corners=False)
+    want_up = np.concatenate(
+        [pos[:, :1],
+         grid_up.permute(0, 2, 3, 1).reshape(1, 40 * 40, d).numpy()], axis=1)
+    np.testing.assert_allclose(got_up, want_up, rtol=2e-5, atol=2e-5)
+
+
+def test_internvit_rejects_odd_patch_grid():
+    from vita_tpu.models import internvit
+
+    cfg = internvit.InternViTConfig.tiny()
+    params = internvit.init_params(jax.random.PRNGKey(0), cfg)
+    side = cfg.patch_size * 3  # odd grid: passes %patch check, breaks shuffle
+    with pytest.raises(ValueError, match="EVEN patch grid"):
+        internvit.forward(params, cfg, jnp.zeros((1, side, side, 3)))
+
+
+def test_load_wav_24bit(tmp_path):
+    import struct
+    import wave
+
+    from vita_tpu.data.audio import load_wav
+
+    t = np.arange(1600)
+    sig = (0.25 * np.sin(2 * np.pi * 200 * t / 16000))
+    q = np.round(sig * (2**23 - 1)).astype(np.int32)
+    raw = b"".join(struct.pack("<i", v)[:3] for v in q)
+    p = tmp_path / "s24.wav"
+    with wave.open(str(p), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(3)
+        w.setframerate(16000)
+        w.writeframes(raw)
+    out = load_wav(str(p))
+    np.testing.assert_allclose(out, sig, atol=2e-6)

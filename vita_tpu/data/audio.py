@@ -17,6 +17,8 @@ from __future__ import annotations
 import math
 from typing import Optional, Tuple
 
+import functools
+
 import numpy as np
 
 SAMPLE_RATE = 16000
@@ -35,6 +37,7 @@ def mel_scale(freq: np.ndarray | float) -> np.ndarray | float:
     return 1127.0 * np.log(1.0 + np.asarray(freq) / 700.0)
 
 
+@functools.lru_cache(maxsize=8)
 def mel_banks(
     num_bins: int, fft_size: int, sample_rate: float, low_freq: float, high_freq: float
 ) -> np.ndarray:
@@ -120,8 +123,20 @@ def load_wav(path: str, target_rate: int = SAMPLE_RATE) -> np.ndarray:
         width = f.getsampwidth()
         channels = f.getnchannels()
         raw = f.readframes(n)
-    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[width]
-    data = np.frombuffer(raw, dtype=dtype).astype(np.float32)
+    if width == 3:
+        # 24-bit PCM (common recorder format): widen each little-endian
+        # 3-byte sample to int32 with sign extension
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        data = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int8).astype(np.int32) << 16)
+        ).astype(np.float32)
+    elif width in (1, 2, 4):
+        dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[width]
+        data = np.frombuffer(raw, dtype=dtype).astype(np.float32)
+    else:
+        raise ValueError(f"unsupported wav sample width: {width} bytes")
     if width == 1:
         data = (data - 128.0) / 128.0
     else:

@@ -22,6 +22,7 @@ import dataclasses
 from typing import Any, Dict
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
@@ -106,8 +107,10 @@ def init_params(rng: jax.Array, cfg: InternViTConfig) -> Params:
 
 
 def param_specs(cfg: InternViTConfig) -> Params:
-    """Vision tower is small (300M): fsdp-shard the big matrices, replicate
-    the rest. 'model' sharding is unnecessary at this size."""
+    """Vision tower is small (300M): fsdp-shard the big matrices' input
+    dims and put their output dims on 'model' (cheap, and keeps the
+    activations' head/channel layout aligned with the LLM's TP axis);
+    small leaves replicate."""
     return {
         "patch_embed": {"w": P(None, "fsdp"), "b": P(None)},
         "cls": P(None, None, None),
@@ -155,17 +158,46 @@ def pixel_shuffle(x: jnp.ndarray, scale: float = 0.5) -> jnp.ndarray:
     return x
 
 
+def _torch_bicubic_matrix(src: int, dst: int) -> np.ndarray:
+    """[dst, src] interpolation matrix matching torch F.interpolate
+    mode='bicubic', align_corners=False: cubic convolution kernel with
+    a = -0.75 and index clamping at the borders (NOT jax.image's Keys
+    a=-0.5 + antialiasing — those deviate for every non-448 input)."""
+    a = -0.75
+
+    def w(x):
+        x = abs(x)
+        if x <= 1:
+            return (a + 2) * x**3 - (a + 3) * x**2 + 1
+        if x < 2:
+            return a * x**3 - 5 * a * x**2 + 8 * a * x - 4 * a
+        return 0.0
+
+    m = np.zeros((dst, src), np.float64)
+    scale = src / dst
+    for i in range(dst):
+        s_pos = (i + 0.5) * scale - 0.5
+        base = int(np.floor(s_pos))
+        t = s_pos - base
+        for k in range(-1, 3):
+            m[i, min(max(base + k, 0), src - 1)] += w(k - t)
+    return m.astype(np.float32)
+
+
 def interpolate_pos_embed(pos: jnp.ndarray, src_grid: int, dst_grid: int) -> jnp.ndarray:
     """Bicubic-resize the patch position table [1, src^2+1, D] to dst^2+1
-    (reference: modeling_intern_vit.py _get_pos_embed, :92-106). CLS slot
-    passes through."""
+    (reference: modeling_intern_vit.py _get_pos_embed, :92-106 — torch
+    bicubic semantics, matched exactly). CLS slot passes through."""
     if src_grid == dst_grid:
         return pos
     cls, patch = pos[:, :1], pos[:, 1:]
     d = patch.shape[-1]
-    grid = patch.reshape(1, src_grid, src_grid, d).astype(jnp.float32)
-    grid = jax.image.resize(grid, (1, dst_grid, dst_grid, d), method="cubic")
-    return jnp.concatenate([cls, grid.reshape(1, dst_grid * dst_grid, d).astype(pos.dtype)], axis=1)
+    grid = patch.reshape(src_grid, src_grid, d).astype(jnp.float32)
+    m = jnp.asarray(_torch_bicubic_matrix(src_grid, dst_grid))
+    grid = jnp.einsum("ys,sxd->yxd", m, jnp.einsum("xs,ysd->yxd", m, grid))
+    return jnp.concatenate(
+        [cls, grid.reshape(1, dst_grid * dst_grid, d).astype(pos.dtype)], axis=1
+    )
 
 
 def forward(params: Params, cfg: InternViTConfig, images: jnp.ndarray) -> jnp.ndarray:
@@ -179,6 +211,11 @@ def forward(params: Params, cfg: InternViTConfig, images: jnp.ndarray) -> jnp.nd
     if ih != iw or ih % cfg.patch_size:
         raise ValueError(
             f"InternViT expects square images with side % {cfg.patch_size} == 0, got {ih}x{iw}"
+        )
+    if (ih // cfg.patch_size) % 2:
+        raise ValueError(
+            f"pixel-shuffle x0.5 needs an EVEN patch grid: side {ih} gives "
+            f"grid {ih // cfg.patch_size}; use a multiple of {2 * cfg.patch_size}"
         )
     d = cfg.hidden
     in_grid = ih // cfg.patch_size

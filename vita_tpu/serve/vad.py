@@ -65,10 +65,10 @@ class StreamingVAD:
 
     def __init__(
         self,
-        config: VADConfig = VADConfig(),
+        config: Optional[VADConfig] = None,
         prob_fn: Optional[Callable[[np.ndarray], float]] = None,
     ):
-        self.cfg = config
+        self.cfg = config or VADConfig()  # fresh per instance (mutable)
         if prob_fn is None:
             prob_fn = default_prob_fn()
         self.prob_fn = prob_fn
@@ -89,16 +89,29 @@ class StreamingVAD:
         prob = self.prob_fn(chunk)
 
         if not self.in_speech:
-            self.pad_buffer.append(chunk)
-            self.pad_buffer = self.pad_buffer[-self._pad_chunks() :]
             if prob >= self.cfg.threshold_start:
                 self.in_speech = True
-                self.segment = list(self.pad_buffer)
+                # the segment starts with pad_ms of PRE-onset context plus
+                # the triggering chunk (the reference prepends last_audio —
+                # wakeup_and_vad.py predict's cat([last_audio, audio]));
+                # trimming before the append keeps the leading context
+                self.segment = list(self.pad_buffer) + [chunk]
                 self.silence_samples = 0
+            else:
+                self.pad_buffer.append(chunk)
+                self.pad_buffer = self.pad_buffer[-self._pad_chunks():]
             return None
 
         self.segment.append(chunk)
-        if prob < self.cfg.threshold_end:
+        # reference VADIterator semantics: the silence clock starts at the
+        # first dip below threshold_end, keeps running through the
+        # intermediate band [end, start) (it is wall-clock from temp_end),
+        # and resets ONLY on confident speech (prob >= threshold_start) —
+        # audio hovering between the thresholds must still end the
+        # utterance instead of stalling the duplex turn forever.
+        if prob >= self.cfg.threshold_start:
+            self.silence_samples = 0
+        elif prob < self.cfg.threshold_end or self.silence_samples > 0:
             self.silence_samples += len(chunk)
             if self.silence_samples >= self.cfg.min_silence_ms / 1000 * SAMPLE_RATE:
                 seg = np.concatenate(self.segment).astype(np.float32)
@@ -106,6 +119,4 @@ class StreamingVAD:
                 if len(seg) / SAMPLE_RATE >= self.cfg.min_dialog_s:
                     return seg
                 return None  # too short: dropped (reference :827-829)
-        else:
-            self.silence_samples = 0
         return None
