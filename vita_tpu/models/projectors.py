@@ -14,7 +14,6 @@ vllm_file/mixtral.py:821-859, configuration_mixtral_multimodal.py:101).
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Dict, Tuple
 
 import jax
@@ -177,6 +176,11 @@ def init_vision_projector_kind(
             "fc3": _init_linear(ks[2], llm_dim, llm_dim, dtype),
         }
     if kind.startswith("spp"):
+        if _spp_variant(kind) is None:
+            raise ValueError(
+                f"unknown spp variant in {kind!r}: expected 'v1'/'v2'/'v3' "
+                "(substring match, like the reference builder.py:132-144)"
+            )
         # all three linears exist regardless of sub-type (builder.py:117-127)
         return {
             "linear_0": _init_linear(ks[0], in_dim, in_dim, dtype),
@@ -203,8 +207,21 @@ def _to_grid(x):
     return x.reshape(b, h, h, c), h
 
 
-def _avg_pool2(x):  # [B, H, W, C] -> [B, H/2, W/2, C]
+def _spp_variant(kind: str):
+    """'v1'/'v2'/'v3' by SUBSTRING (the reference matches 'v1' in
+    projector_type, builder.py:132-144 — 'spp_v1_big' is valid there), or
+    None for unknown variants (validated at init, not first forward)."""
+    for v in ("v1", "v2", "v3"):
+        if v in kind:
+            return v
+    return None
+
+
+def _avg_pool2(x):  # [B, H, W, C] -> [B, floor(H/2), floor(W/2), C]
+    # odd grids FLOOR like the reference's nn.AvgPool2d(2) (builder.py:125)
+    # — a hard reshape would crash on e.g. a 27x27 grid
     b, h, w, c = x.shape
+    x = x[:, : (h // 2) * 2, : (w // 2) * 2]
     return x.reshape(b, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
 
 
@@ -224,7 +241,7 @@ def apply_vision_projector(
         h = jax.nn.gelu(lin(params["fc2"], h), approximate=False)
         return lin(params["fc3"], h)
     if kind.startswith("spp"):
-        v = kind[-2:]
+        v = _spp_variant(kind)
         if v == "v1":
             x = lin(params["linear_1"], feats)
             g, _ = _to_grid(x)

@@ -10,9 +10,8 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, Callable, Dict, Tuple
+from typing import Any, Callable
 
-import jax.numpy as jnp
 
 from vita_tpu.models import clip as clip_mod
 from vita_tpu.models import eva_clip as eva_mod

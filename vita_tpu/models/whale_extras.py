@@ -87,6 +87,14 @@ def conv1d_layer(
     """[B, T, D] -> [B, T', out]; causal left-pad or centered pad."""
     kernel = params["w"].shape[0]
     lorder = (kernel - 1) * dilation
+    if not causal and lorder % 2:
+        # centered padding needs an odd kernel span; the reference asserts
+        # (kernel_size-1)%2==0 (conv1d.py:29) — an even kernel would
+        # silently shorten the output by one off-center frame
+        raise ValueError(
+            f"non-causal conv needs an odd effective kernel; got kernel="
+            f"{kernel}, dilation={dilation}"
+        )
     pad = (lorder, 0) if causal else (lorder // 2, lorder // 2)
     h = jnp.pad(x, ((0, 0), pad, (0, 0)))
     h = jax.lax.conv_general_dilated(
@@ -123,6 +131,14 @@ def dtc_block(
     pointwise -> BN (+residual when stride 1) -> relu."""
     kernel = params["depth_w"].shape[0]
     lorder = (kernel - 1) * dilation
+    if not causal and lorder % 2:
+        # centered padding needs an odd kernel span; the reference asserts
+        # (kernel_size-1)%2==0 (conv1d.py:29) — an even kernel would
+        # silently shorten the output by one off-center frame
+        raise ValueError(
+            f"non-causal conv needs an odd effective kernel; got kernel="
+            f"{kernel}, dilation={dilation}"
+        )
     pad = (lorder, 0) if causal else (lorder // 2, lorder // 2)
     h = jnp.pad(x, ((0, 0), pad, (0, 0)))
     # depthwise conv via feature_group_count

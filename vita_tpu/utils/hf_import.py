@@ -155,7 +155,6 @@ def whale_params_from_hf(
     L = "encoder.layers.{l}."
     conv1 = g("subsampling.conv_in.0.weight")  # [D, 1, 3, 3]
     conv2 = g("subsampling.conv_in.2.weight")  # [D, D, 3, 3]
-    input_dim_flat = g("subsampling.out.weight").shape[1]
     return {
         "cmvn": {
             "mean": np.zeros((80,), np.float32) if cmvn_mean is None else np.asarray(cmvn_mean),
@@ -205,7 +204,7 @@ def _tree_paths(tree, prefix=""):
     out = []
     if isinstance(tree, Mapping):
         for k in sorted(tree):
-            out += _tree_paths(tree[k], f"{prefix}{k}." if prefix or True else k)
+            out += _tree_paths(tree[k], f"{prefix}{k}.")
     else:
         out.append((prefix[:-1], tree))
     return out
@@ -224,6 +223,8 @@ def vision_projector_from_hf(state: Mapping[str, Any], prefix="",
             "fc1_w": g("linear_1.weight").T, "fc1_b": g("linear_1.bias"),
             "fc2_w": g("linear_2.weight").T, "fc2_b": g("linear_2.bias"),
         }
+    if kind == "identity":
+        return {}  # parameter-free
     if template is None:
         raise ValueError(f"loading projector kind {kind!r} needs a template")
 
@@ -454,6 +455,13 @@ def vita_params_to_hf(params, cfg) -> Dict[str, np.ndarray]:
     """Full-stack export to the deployed HF layout (the reverse of
     checkpoint._load_hf_vita_weights; remap spec per the reference's
     tables at web_demo/vllm_tools/vllm_file/mixtral.py:1189-1329)."""
+    tower = getattr(cfg, "vision_tower", "internvit")
+    if tower != "internvit":
+        raise ValueError(
+            f"HF deploy export supports the internvit tower only (the "
+            f"reference's deployed layout); got vision_tower={tower!r} — "
+            "use the native save_vita_checkpoint format for alt towers"
+        )
     out: Dict[str, np.ndarray] = {}
     for k, v in mixtral_params_to_hf(params["llm"], cfg.llm, prefix="model.").items():
         out["language_model." + k] = v
