@@ -214,3 +214,62 @@ def test_serving_app_session_replays_image(tiny):
     assert done and len(r3.tokens) > 0
     _rel3()
     app.thread.stop()
+
+
+def test_serving_app_video_request(tiny, tmp_path):
+    """video_b64 routes through the video pipeline: frames sampled and
+    fused like the CLI path, video modality prompt, runs end-to-end
+    (reference: web_ability_demo.py:145-243 handles video uploads)."""
+    import base64
+    import time
+
+    import cv2
+
+    from vita_tpu.serve.engine import Engine
+    from vita_tpu.serve.http_server import ServingApp
+
+    cfg, params = tiny
+    sz = cfg.vision.image_size
+    path = str(tmp_path / "clip.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (sz, sz))
+    for i in range(50):  # 5 s at 10 fps -> >=5 sampled frames at 1 fps
+        w.write(np.full((sz, sz, 3), (i * 5) % 255, np.uint8))
+    w.release()
+    vid_b64 = base64.b64encode(open(path, "rb").read()).decode()
+
+    eng = Engine(params, cfg, n_slots=1, max_len=4096, decode_chunk_len=2)
+    enc = lambda s: [1] + [3 + b for b in s.encode()]
+    dec = lambda ids: bytes(t - 3 for t in ids if 3 <= t < 259).decode(errors="ignore")
+    app = ServingApp(eng, cfg, enc, dec, bos_id=1, eos_id=2, image_size=sz)
+    try:
+        req, record, release = app.build_request(
+            {"prompt": "what happens?", "video_b64": vid_b64}
+        )
+        n_frames = req.images.shape[0]
+        assert n_frames >= 4  # 1 fps sampling of a 5 s clip (min_frames=4)
+        assert req.images.shape[1:] == (sz, sz, 3)
+        assert int(np.sum(req.image_mask)) == n_frames * cfg.vision.out_tokens
+        release()
+
+        done = []
+        req.on_finish = lambda toks, reason: done.append(reason)
+        eng.submit(req)
+        for _ in range(600):
+            if done:
+                break
+            time.sleep(0.1)
+        assert done and len(req.tokens) > 0
+
+        # image + video together is a client error, not a crash
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(buf, "PNG")
+        png_b64 = base64.b64encode(buf.getvalue()).decode()
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            app.build_request({"prompt": "x", "video_b64": vid_b64,
+                               "image_b64": png_b64})
+    finally:
+        app.thread.stop()

@@ -116,6 +116,37 @@ def stack_speech_clips(
     return np.stack(padded), np.asarray(lens, np.int32), counts
 
 
+def stack_encoded_clips(
+    encoded, encoded_length, frame_buckets: Sequence[int]
+) -> Tuple[np.ndarray, np.ndarray, List[int]]:
+    """stack_speech_clips twin for PRE-ENCODED Whale features (streaming
+    path, serve.streaming_audio): clips are [T', whale_hidden] with
+    T' = subsampled_length(raw_frames). Buckets are the raw frame buckets
+    mapped through the same subsampling so one program cache serves both
+    paths' shape families. Token counts use the adapter arithmetic
+    (T'-1)//2+1 — identical to audio_token_count on the raw length."""
+    from vita_tpu.models.whale import subsampled_length
+
+    clips = list(encoded) if isinstance(encoded, (list, tuple)) else [encoded]
+    if isinstance(encoded_length, (list, tuple, np.ndarray)):
+        lens = [int(x) for x in encoded_length]
+    else:
+        lens = [int(encoded_length or clips[0].shape[0])]
+    if len(lens) != len(clips):
+        raise ValueError(f"{len(clips)} clips but {len(lens)} lengths")
+    counts = [(l - 1) // 2 + 1 for l in lens]
+
+    sub_buckets = sorted({int(subsampled_length(b)) for b in frame_buckets})
+    padded = [pad_axis0(np.asarray(c, np.float32), sub_buckets) for c in clips]
+    t = max(p.shape[0] for p in padded)
+    padded = [np.pad(p, ((0, t - p.shape[0]), (0, 0))) for p in padded]
+    nb = next((b for b in CLIP_COUNT_BUCKETS if b >= len(padded)), len(padded))
+    while len(padded) < nb:
+        padded.append(np.zeros((t, padded[0].shape[1]), np.float32))
+        lens.append(1)
+    return np.stack(padded), np.asarray(lens, np.int32), counts
+
+
 class Generator:
     """Holds the jitted prefill/decode executables for one (cfg, shapes)."""
 

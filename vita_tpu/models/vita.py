@@ -244,6 +244,8 @@ def fuse_embeddings(
     speech: Optional[jnp.ndarray] = None,  # [B, T, 80] (or [n_clips, T, 80])
     speech_lengths: Optional[jnp.ndarray] = None,  # [B] / [n_clips]
     audio_select: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    audio_encoded: Optional[jnp.ndarray] = None,  # [n_clips, T', whale_hidden]
+    audio_encoded_lengths: Optional[jnp.ndarray] = None,  # [n_clips]
 ) -> jnp.ndarray:
     """Token embeddings with media features merged in: [B, S, D].
 
@@ -253,7 +255,12 @@ def fuse_embeddings(
 
     ``audio_select`` (clip_idx, row_idx — tokenization.audio_select_arrays)
     switches the audio merge to multi-clip addressing: ``speech`` rows are
-    then clips of ONE batch row (multi-turn audio history)."""
+    then clips of ONE batch row (multi-turn audio history).
+
+    ``audio_encoded`` bypasses the Whale encoder with features already
+    produced by the streaming path (serve.streaming_audio — encoded live
+    during speech); only the CNN adapter runs here. Mutually exclusive
+    with ``speech``."""
     b, s = input_ids.shape
     embeds = jnp.take(params["llm"]["embed"], input_ids, axis=0)
 
@@ -264,6 +271,14 @@ def fuse_embeddings(
         image_feats = feats.reshape(b, -1, feats.shape[-1])
     if speech is not None:
         audio_feats, _ = encode_audio(params, cfg, speech, speech_lengths)
+    elif audio_encoded is not None:
+        valid = (
+            jnp.arange(audio_encoded.shape[1])[None, :]
+            < audio_encoded_lengths[:, None]
+        )
+        audio_feats, _ = projectors.audio_projector(
+            params["audio_proj"], audio_encoded.astype(cfg.audio.dtype), valid
+        )
 
     if image_mask is None:
         image_mask = jnp.zeros((b, s), bool)

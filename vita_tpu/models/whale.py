@@ -303,18 +303,28 @@ def streaming_init(
 
 
 def streaming_step(
-    params: Params, cfg: WhaleConfig, state: Params, chunk: jnp.ndarray
+    params: Params, cfg: WhaleConfig, state: Params, chunk: jnp.ndarray,
+    chunk_len: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Params]:
     """Process one chunk [B, chunk_frames, input_dim] of fbank features.
 
     Returns (features [B, max_out, hidden], valid [B, max_out], new_state).
     Concatenated valid outputs across steps equal `forward` restricted to
     the same bounded left context.
+
+    ``chunk_len`` (traced int32, default chunk_frames) marks how many
+    leading frames of ``chunk`` are real — the final flush of a streaming
+    session rarely lands on the block size, and counting padding as valid
+    would let real outputs attend to garbage keys (whale attention is
+    bidirectional within the chunk). One compiled program serves full and
+    partial chunks.
     """
     b, chunk_frames, fdim = chunk.shape
     max_out = subsampled_length(TAIL_MAX + chunk_frames)  # static
     left_context = state["k"].shape[2]
     nh, hd = cfg.n_heads, cfg.head_dim
+    if chunk_len is None:
+        chunk_len = jnp.int32(chunk_frames)
 
     x_cm = (chunk.astype(jnp.float32) - params["cmvn"]["mean"]) * params["cmvn"]["istd"]
 
@@ -327,7 +337,7 @@ def streaming_step(
     shift = TAIL_MAX - tail_len
     idx = (jnp.arange(total_buf)[None, :] + shift) % total_buf
     buf = jnp.take_along_axis(buf, idx[..., None], axis=1)
-    t_total = tail_len + chunk_frames
+    t_total = tail_len + chunk_len
 
     # clamp: fewer than 3 buffered frames subsample to NOTHING — the raw
     # formula goes negative there, which would corrupt the carried state

@@ -78,6 +78,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="seconds to let a response stream before the next utterance")
     p.add_argument("--history-limit", type=int, default=5,
                    help="past turns kept as context for each new utterance")
+    p.add_argument("--no-streaming-encode", action="store_true",
+                   help="encode each utterance whole after VAD end (the "
+                        "reference's behavior) instead of streaming the "
+                        "Whale encoder during speech")
     args = p.parse_args(argv)
 
     import jax
@@ -115,24 +119,39 @@ def main(argv: Optional[List[str]] = None) -> int:
     session = ChatSession(limit=args.history_limit)
     turn_meta = {}  # request_id -> HistoryTurn (response filled on_turn)
 
-    def make_query(segment: np.ndarray) -> Request:
-        feats = fbank(segment)
-        merged = session.merge(
-            "<audio>", speech=feats, speech_length=len(feats),
-            skip_history_vision=True, image_tokens_to_front=True,
-        )
+    streaming = not args.no_streaming_encode
+
+    def make_query(segment: np.ndarray,
+                   encoded: Optional[np.ndarray] = None) -> Request:
+        if encoded is not None:
+            merged = session.merge(
+                "<audio>", encoded=encoded, encoded_length=len(encoded),
+                skip_history_vision=True, image_tokens_to_front=True,
+            )
+            aud_counts = [(l - 1) // 2 + 1 for l in merged.encoded_lengths]
+            media_kw = dict(audio_encoded=merged.encodeds,
+                            audio_encoded_length=merged.encoded_lengths)
+            turn = HistoryTurn(prompt="<audio>", response="",
+                               encoded=encoded, encoded_length=len(encoded))
+        else:
+            feats = fbank(segment)
+            merged = session.merge(
+                "<audio>", speech=feats, speech_length=len(feats),
+                skip_history_vision=True, image_tokens_to_front=True,
+            )
+            aud_counts = [audio_token_count(l) for l in merged.speech_lengths]
+            media_kw = dict(speech=merged.speeches,
+                            speech_length=merged.speech_lengths)
+            turn = HistoryTurn(prompt="<audio>", response="",
+                               speech=feats, speech_length=len(feats))
         ids = tokenize_multimodal(merged.prompt, encode, bos_id=bos_id)
-        aud_counts = [audio_token_count(l) for l in merged.speech_lengths]
         expanded = expand_media_sentinels(ids, [], aud_counts)
         safe, _, am = media_masks(np.array(expanded))
         req = Request(
             input_ids=safe, audio_mask=am,
-            speech=merged.speeches, speech_length=merged.speech_lengths,
-            max_new_tokens=args.max_new_tokens, eos_id=eos_id,
+            max_new_tokens=args.max_new_tokens, eos_id=eos_id, **media_kw,
         )
-        turn_meta[req.request_id] = HistoryTurn(
-            prompt="<audio>", response="", speech=feats, speech_length=len(feats)
-        )
+        turn_meta[req.request_id] = turn
         return req
 
     def on_turn(req: Request, text: str) -> None:
@@ -145,11 +164,24 @@ def main(argv: Optional[List[str]] = None) -> int:
     # decode chunk) before the real-time session starts — compiles must not
     # eat the interaction timeline (remote TPU compiles take minutes).
     t0 = time.time()
+    warm_encoder = None
+    if streaming:
+        from vita_tpu.serve.streaming_audio import StreamingWhaleEncoder
+
+        # warming through the encoder also compiles the streaming step
+        warm_encoder = StreamingWhaleEncoder(params["audio"], cfg.audio)
+        warm_encoder.feed(np.zeros((300, cfg.audio.input_dim), np.float32))
+        warm_feats = warm_encoder.finish()
+        warm_encoder.reset()
     for e in engines:
-        warm = make_query(np.zeros(int(3.0 * SAMPLE_RATE), np.float32))
+        if streaming:
+            warm = make_query(None, encoded=warm_feats)
+        else:
+            warm = make_query(np.zeros(int(3.0 * SAMPLE_RATE), np.float32))
         warm.max_new_tokens = 9
         e.submit(warm)
         e.run_until_idle()
+    session.turns.clear()  # warm turns are not conversation history
     print(f"[demo] engines warm in {time.time()-t0:.1f}s")
 
     threads = [EngineThread(e) for e in engines]
@@ -178,10 +210,30 @@ def main(argv: Optional[List[str]] = None) -> int:
     else:
         chunks = synth_session()
 
+    frontend = None
+    if streaming:
+        from vita_tpu.serve.streaming_audio import StreamingAudioFrontend
+
+        frontend = StreamingAudioFrontend(params["audio"], cfg.audio, vad=vad)
+
     print(f"[demo] streaming {len(chunks)} mic chunks "
-          f"({len(chunks) * CHUNK_SAMPLES / SAMPLE_RATE:.1f} s of audio)")
+          f"({len(chunks) * CHUNK_SAMPLES / SAMPLE_RATE:.1f} s of audio)"
+          + (" [whale encode overlaps speech]" if streaming else ""))
     n_queries = 0
     for chunk in chunks:
+        if streaming:
+            t_eos = time.time()
+            utt = frontend.process(chunk)
+            if utt is None:
+                continue
+            n_queries += 1
+            print(f"\n[vad] utterance {n_queries}: "
+                  f"{len(utt.wav) / SAMPLE_RATE:.2f}s, encode flush "
+                  f"{(time.time() - t_eos) * 1e3:.0f}ms "
+                  f"-> monitor engine {1 - ctl.generator_idx}")
+            ctl.submit_query(make_query(utt.wav, encoded=utt.features))
+            time.sleep(args.settle_s)  # let the answer stream (real time)
+            continue
         seg = vad.process(chunk)
         if seg is not None:
             n_queries += 1

@@ -75,6 +75,12 @@ class Request:
     images: Optional[np.ndarray] = None
     speech: Optional[np.ndarray] = None
     speech_length: int = 0
+    # pre-encoded Whale features from the streaming frontend
+    # (serve.streaming_audio): [T', whale_hidden] or a list of clips.
+    # Mutually exclusive with ``speech`` — only the CNN adapter runs at
+    # prefill, the 24-layer encode already happened during speech.
+    audio_encoded: Optional[Any] = None
+    audio_encoded_length: Any = 0
     on_token: Optional[Callable[[int], None]] = None
     on_finish: Optional[Callable[[List[int], str], None]] = None
     # multi-turn KV reuse: requests sharing a session_key keep their pages
@@ -112,11 +118,13 @@ def _embed_text(params, cfg, ids):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _embed_media(params, cfg, ids, im, am, images, speech, sl, audio_select):
+def _embed_media(params, cfg, ids, im, am, images, speech, sl, audio_select,
+                 aenc=None, aenc_len=None):
     return vita.fuse_embeddings(
         params, cfg, ids, image_mask=im, audio_mask=am,
         images=images, speech=speech, speech_lengths=sl,
         audio_select=audio_select,
+        audio_encoded=aenc, audio_encoded_lengths=aenc_len,
     )
 
 
@@ -536,7 +544,7 @@ class Engine:
         bucket = len(padded)
         ids = jnp.asarray(np.asarray(padded, np.int32))[None]
 
-        if req.images is None and req.speech is None:
+        if req.images is None and req.speech is None and req.audio_encoded is None:
             embeds = _embed_text(self.params, self.cfg, ids)
         else:
             def padmask(m):
@@ -549,15 +557,25 @@ class Engine:
                 jnp.asarray(pad_axis0(np.asarray(req.images), self.tile_buckets))
                 if req.images is not None else None
             )
-            sp = sl = sel = None
-            if req.speech is not None:
-                from vita_tpu.generate import stack_speech_clips
+            sp = sl = sel = aenc = aenc_len = None
+            if req.speech is not None or req.audio_encoded is not None:
+                from vita_tpu.generate import (
+                    stack_encoded_clips,
+                    stack_speech_clips,
+                )
                 from vita_tpu.tokenization import audio_select_arrays
 
-                clips, lens, counts = stack_speech_clips(
-                    req.speech, req.speech_length, self.frame_buckets
-                )
-                sp, sl = jnp.asarray(clips), jnp.asarray(lens)
+                if req.speech is not None:
+                    clips, lens, counts = stack_speech_clips(
+                        req.speech, req.speech_length, self.frame_buckets
+                    )
+                    sp, sl = jnp.asarray(clips), jnp.asarray(lens)
+                else:
+                    clips, lens, counts = stack_encoded_clips(
+                        req.audio_encoded, req.audio_encoded_length,
+                        self.frame_buckets,
+                    )
+                    aenc, aenc_len = jnp.asarray(clips), jnp.asarray(lens)
                 am_np = np.zeros(bucket, bool)
                 if req.audio_mask is not None:
                     am_np[:s] = np.asarray(req.audio_mask, bool)
@@ -565,7 +583,7 @@ class Engine:
                 sel = (jnp.asarray(ci)[None], jnp.asarray(ri)[None])
             embeds = _embed_media(
                 self.params, self.cfg, ids, padmask(req.image_mask),
-                padmask(req.audio_mask), img, sp, sl, sel,
+                padmask(req.audio_mask), img, sp, sl, sel, aenc, aenc_len,
             )
 
         llm = self.cfg.llm
@@ -580,7 +598,8 @@ class Engine:
         # when token ids match (different tiles), so media requests skip it.
         offset = 0
         cached = None
-        if req.session_key and req.images is None and req.speech is None:
+        if (req.session_key and req.images is None and req.speech is None
+                and req.audio_encoded is None):
             cached = self._prefix_cache.pop(req.session_key, None)
         if cached is not None:
             m = min(len(cached.ids), s - 1)
@@ -779,6 +798,7 @@ class Engine:
                 and reason in ("eos", "length")
                 and req.images is None
                 and req.speech is None
+                and req.audio_encoded is None
             ):
                 # keep this turn's kv for the session's next request.
                 # The FINAL emitted token is excluded: its KV row is only

@@ -39,6 +39,11 @@ class HistoryTurn:
     image_slot_counts: Tuple[int, ...] = ()  # LLM slots per <image> sentinel
     speech: Optional[np.ndarray] = None  # [T, 80]
     speech_length: int = 0
+    # streaming-path alternative to ``speech``: Whale encoder output
+    # [T', whale_hidden] captured live (serve.streaming_audio). A session
+    # should use one representation consistently — raw fbank XOR encoded.
+    encoded: Optional[np.ndarray] = None
+    encoded_length: int = 0
 
     @property
     def rejected_noise(self) -> bool:
@@ -53,6 +58,8 @@ class MergedPrompt:
     image_slot_counts: Tuple[int, ...]
     speeches: List[np.ndarray]
     speech_lengths: List[int]
+    encodeds: List[np.ndarray] = dataclasses.field(default_factory=list)
+    encoded_lengths: List[int] = dataclasses.field(default_factory=list)
 
 
 def _strip_vision(text: str) -> str:
@@ -66,6 +73,8 @@ def merge_current_and_history(
     image_slot_counts: Sequence[int] = (),
     speech: Optional[np.ndarray] = None,
     speech_length: int = 0,
+    encoded: Optional[np.ndarray] = None,
+    encoded_length: int = 0,
     skip_history_vision: bool = False,
     image_tokens_to_front: bool = False,
     template: str = "mixtral_two",
@@ -86,6 +95,8 @@ def merge_current_and_history(
     slot_counts: List[int] = []
     speeches: List[np.ndarray] = []
     speech_lengths: List[int] = []
+    encodeds: List[np.ndarray] = []
+    encoded_lengths: List[int] = []
 
     for h in history:
         if drop_noise_turns and h.rejected_noise:
@@ -100,6 +111,9 @@ def merge_current_and_history(
         if h.speech is not None:
             speeches.append(h.speech)
             speech_lengths.append(h.speech_length)
+        elif h.encoded is not None:
+            encodeds.append(h.encoded)
+            encoded_lengths.append(h.encoded_length)
 
     turns.append((prompt, ""))
     if images is not None:
@@ -108,6 +122,9 @@ def merge_current_and_history(
     if speech is not None:
         speeches.append(speech)
         speech_lengths.append(speech_length)
+    elif encoded is not None:
+        encodeds.append(encoded)
+        encoded_lengths.append(encoded_length)
 
     if image_tokens_to_front and turns:
         n_img = sum(t.count(DEFAULT_IMAGE_TOKEN) for t, _ in turns)
@@ -139,6 +156,8 @@ def merge_current_and_history(
         image_slot_counts=tuple(slot_counts),
         speeches=speeches,
         speech_lengths=speech_lengths,
+        encodeds=encodeds,
+        encoded_lengths=encoded_lengths,
     )
 
 

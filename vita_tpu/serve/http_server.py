@@ -8,9 +8,16 @@ dependencies: a stdlib ThreadingHTTPServer exposing
   GET  /health      — {"status": "ok", "active": N}
   GET  /stats       — serving metrics (p50 TTFT, decode tok/s, queue depth)
   POST /v1/generate — {"prompt": str, "image_b64"?: str, "audio_b64"?: str,
+                       "video_b64"?: str, "video_format"?: ".mp4",
                        "session_id"?: str, "max_tokens"?: int,
                        "temperature"?: float}
                       -> chunked text/plain token stream
+
+``video_b64`` carries a whole video file (any OpenCV-decodable container);
+frames are sampled server-side exactly like the CLI/video pipeline
+(1 fps patch mode, 3 fps 5-tuple frameCat mode) — the reference's demo
+handles video uploads the same way (web_demo/web_ability_demo.py:145-243,
+_get_rawvideo_dec). image_b64 and video_b64 are mutually exclusive.
 
 Passing a ``session_id`` turns on multi-turn chat: history replays under
 the interactive demo's merge rules (serve.history — skip history vision,
@@ -40,7 +47,7 @@ _PAGE = """<!doctype html><title>VITA-TPU demo</title>
 #log{white-space:pre-wrap;border:1px solid #ccc;padding:1em;min-height:8em}</style>
 <h2>VITA-TPU chat</h2><div id=log></div>
 <input id=q style="width:70%" placeholder="ask something">
-<input type=file id=img accept="image/*"><button onclick=send()>Send</button>
+<input type=file id=img accept="image/*"><input type=file id=vid accept="video/*"><button onclick=send()>Send</button>
 <script>
 const sid = 'web-' + Math.random().toString(36).slice(2);
 async function send(){
@@ -49,6 +56,10 @@ async function send(){
  const f=document.getElementById('img').files[0];
  if(f){body.image_b64=await new Promise(r=>{const fr=new FileReader();
    fr.onload=()=>r(fr.result.split(',')[1]);fr.readAsDataURL(f);});}
+ const v=document.getElementById('vid').files[0];
+ if(v){body.video_b64=await new Promise(r=>{const fr=new FileReader();
+   fr.onload=()=>r(fr.result.split(',')[1]);fr.readAsDataURL(v);});
+   body.video_format='.'+(v.name.split('.').pop()||'mp4');}
  const log=document.getElementById('log');log.textContent+='\\n> '+q+'\\n';
  const res=await fetch('/v1/generate',{method:'POST',body:JSON.stringify(body)});
  const rd=res.body.getReader();const dec=new TextDecoder();
@@ -93,6 +104,7 @@ class ServingApp:
         speech_len = 0
         img_counts, aud_counts = [], []
         parts = []
+        is_video = False
 
         if payload.get("image_b64"):
             from PIL import Image
@@ -112,6 +124,37 @@ class ServingApp:
             images = normalize(tiles)
             groups = len(tiles) // self.cfg.image_group_tiles
             img_counts = [groups * self.cfg.image_tokens_per_group]
+            parts.append("<image>")
+        if payload.get("video_b64"):
+            if images is not None:
+                raise ValueError("image_b64 and video_b64 are mutually exclusive")
+            import os
+            import tempfile
+
+            from vita_tpu.data.image import normalize
+            from vita_tpu.data.video import (
+                decode_video_frames,
+                decode_video_frames_framecat,
+            )
+
+            raw = base64.b64decode(payload["video_b64"])
+            suffix = payload.get("video_format", ".mp4")
+            if not suffix.startswith("."):
+                suffix = "." + suffix
+            fd, tmp = tempfile.mkstemp(suffix=suffix)
+            try:
+                with os.fdopen(fd, "wb") as f:
+                    f.write(raw)
+                if self.cfg.vision_fusion == "framecat":
+                    frames = decode_video_frames_framecat(tmp, size=self.image_size)
+                else:
+                    frames = decode_video_frames(tmp, size=self.image_size)
+            finally:
+                os.unlink(tmp)
+            images = normalize(list(frames))
+            groups = len(frames) // self.cfg.image_group_tiles
+            img_counts = [groups * self.cfg.image_tokens_per_group]
+            is_video = True
             parts.append("<image>")
         if payload.get("audio_b64"):
             from vita_tpu.data.audio import fbank
@@ -162,7 +205,8 @@ class ServingApp:
                 turn.response = text
                 sess.add(turn)
         else:
-            modality = "image" if images is not None else "lang"
+            modality = ("video" if is_video else
+                        "image" if images is not None else "lang")
             prompt = Dialog(TEMPLATES["mixtral_two"]).user(user_text).assistant().render(modality)
             req_speech = speech
             req_speech_len = speech_len
