@@ -49,10 +49,12 @@ def main() -> None:
     import functools
 
     # ---- batch path: chain via a data dependence on the previous output
+    # params ride as arguments — closing over them would inline ~0.4 GB
+    # of weights as constants into the remote compile request (HTTP 413)
     @functools.partial(jax.jit, static_argnames=("n",))
-    def batch_chain(speech, n):
+    def batch_chain(p, speech, n):
         def body(s, _):
-            feats, valid = whale.forward(params, cfg, s, jnp.array([n_frames]))
+            feats, valid = whale.forward(p, cfg, s, jnp.array([n_frames]))
             # fold a scalar of the output back in: serializes the chain
             # without changing magnitude (executes N real encodes)
             return s + 0.0 * feats.mean(), None
@@ -67,7 +69,7 @@ def main() -> None:
         float(fn(n))  # host readback = the only real sync on axon
         return time.time() - t0
 
-    run_batch = lambda n: batch_chain(speech, n)
+    run_batch = lambda n: batch_chain(params, speech, n)
     timed(run_batch, args.n_small)  # compile + warm
     timed(run_batch, args.n_large)
     t_small = timed(run_batch, args.n_small)
@@ -82,15 +84,15 @@ def main() -> None:
     )
 
     @functools.partial(jax.jit, static_argnames=("n",))
-    def stream_chain(state, n):
+    def stream_chain(p, state, n):
         def body(s, _):
-            feats, valid, s = whale.streaming_step(params, cfg, s, block)
+            feats, valid, s = whale.streaming_step(p, cfg, s, block)
             return s, feats.mean()
 
         s, means = jax.lax.scan(body, state, None, length=n)
         return means.sum()
 
-    run_stream = lambda n: stream_chain(state0, n)
+    run_stream = lambda n: stream_chain(params, state0, n)
     timed(run_stream, args.n_small)
     timed(run_stream, args.n_large)
     t_small = timed(run_stream, args.n_small)
@@ -103,13 +105,13 @@ def main() -> None:
     # actually waits for in the duplex loop (includes the tunnel RTT —
     # that is what the user experiences)
     @jax.jit
-    def one_step(state):
-        feats, valid, s = whale.streaming_step(params, cfg, state, block)
+    def one_step(p, state):
+        feats, valid, s = whale.streaming_step(p, cfg, state, block)
         return feats.mean()
 
-    float(one_step(state0))  # compile
+    float(one_step(params, state0))  # compile
     t0 = time.time()
-    float(one_step(state0))
+    float(one_step(params, state0))
     flush_ms = (time.time() - t0) * 1e3
 
     print(json.dumps({

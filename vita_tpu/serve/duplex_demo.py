@@ -82,6 +82,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="encode each utterance whole after VAD end (the "
                         "reference's behavior) instead of streaming the "
                         "Whale encoder during speech")
+    p.add_argument("--camera", default="off",
+                   help="'off', 'synthetic', or a video file: buffer the "
+                        "last 8 camera frames and attach them to each query "
+                        "as video context (reference "
+                        "web_interactive_demo.py:706-720)")
     args = p.parse_args(argv)
 
     import jax
@@ -122,33 +127,54 @@ def main(argv: Optional[List[str]] = None) -> int:
     streaming = not args.no_streaming_encode
 
     def make_query(segment: np.ndarray,
-                   encoded: Optional[np.ndarray] = None) -> Request:
+                   encoded: Optional[np.ndarray] = None,
+                   frames: Optional[List[np.ndarray]] = None) -> Request:
+        # camera context: the buffered frames become this turn's video
+        # tiles (reference attaches an mp4 of the last 8 webcam frames,
+        # web_interactive_demo.py:706-720,864-865)
+        images = None
+        img_counts: List[int] = []
+        prompt_text = "<audio>"
+        if frames is not None:
+            from vita_tpu.data.image import normalize
+
+            images = normalize(frames)
+            img_counts = [(len(frames) // cfg.image_group_tiles)
+                          * cfg.image_tokens_per_group]
+            prompt_text = "<image>\n<audio>"
+        media_common = dict(images=images,
+                            image_slot_counts=tuple(img_counts),
+                            skip_history_vision=True,
+                            image_tokens_to_front=True)
         if encoded is not None:
             merged = session.merge(
-                "<audio>", encoded=encoded, encoded_length=len(encoded),
-                skip_history_vision=True, image_tokens_to_front=True,
+                prompt_text, encoded=encoded, encoded_length=len(encoded),
+                **media_common,
             )
             aud_counts = [(l - 1) // 2 + 1 for l in merged.encoded_lengths]
             media_kw = dict(audio_encoded=merged.encodeds,
                             audio_encoded_length=merged.encoded_lengths)
-            turn = HistoryTurn(prompt="<audio>", response="",
+            turn = HistoryTurn(prompt=prompt_text, response="",
                                encoded=encoded, encoded_length=len(encoded))
         else:
             feats = fbank(segment)
             merged = session.merge(
-                "<audio>", speech=feats, speech_length=len(feats),
-                skip_history_vision=True, image_tokens_to_front=True,
+                prompt_text, speech=feats, speech_length=len(feats),
+                **media_common,
             )
             aud_counts = [audio_token_count(l) for l in merged.speech_lengths]
             media_kw = dict(speech=merged.speeches,
                             speech_length=merged.speech_lengths)
-            turn = HistoryTurn(prompt="<audio>", response="",
+            turn = HistoryTurn(prompt=prompt_text, response="",
                                speech=feats, speech_length=len(feats))
         ids = tokenize_multimodal(merged.prompt, encode, bos_id=bos_id)
-        expanded = expand_media_sentinels(ids, [], aud_counts)
-        safe, _, am = media_masks(np.array(expanded))
+        expanded = expand_media_sentinels(
+            ids, list(merged.image_slot_counts), aud_counts)
+        safe, im, am = media_masks(np.array(expanded))
         req = Request(
             input_ids=safe, audio_mask=am,
+            image_mask=im if merged.images is not None else None,
+            images=merged.images,
             max_new_tokens=args.max_new_tokens, eos_id=eos_id, **media_kw,
         )
         turn_meta[req.request_id] = turn
@@ -163,6 +189,27 @@ def main(argv: Optional[List[str]] = None) -> int:
     # Warm both engines' compiled programs (audio embed + prefill chunks +
     # decode chunk) before the real-time session starts — compiles must not
     # eat the interaction timeline (remote TPU compiles take minutes).
+    camera = None
+    cam_frames: List[np.ndarray] = []
+    if args.camera != "off":
+        from vita_tpu.serve.camera import (
+            CameraBuffer,
+            synthetic_camera_frames,
+            video_file_frames,
+        )
+
+        camera = CameraBuffer(max_frames=8)
+        if args.camera == "synthetic":
+            cam_frames = synthetic_camera_frames(512, cfg.vision.image_size)
+        else:
+            cam_frames = video_file_frames(args.camera, cfg.vision.image_size)
+
+    def camera_tiles() -> Optional[List[np.ndarray]]:
+        if camera is None or len(camera) == 0:
+            return None
+        tiles, _ = camera.snapshot_tiles(cfg.vision_fusion)
+        return tiles
+
     t0 = time.time()
     warm_encoder = None
     if streaming:
@@ -173,11 +220,20 @@ def main(argv: Optional[List[str]] = None) -> int:
         warm_encoder.feed(np.zeros((300, cfg.audio.input_dim), np.float32))
         warm_feats = warm_encoder.finish()
         warm_encoder.reset()
+    warm_frames = None
+    if camera is not None:
+        # compile the image+audio prefill program too: a camera query in
+        # the live timeline must not hit a cold compile
+        for f in cam_frames[:8]:
+            camera.push(f)
+        warm_frames = camera_tiles()
+        camera.frames.clear()
     for e in engines:
         if streaming:
-            warm = make_query(None, encoded=warm_feats)
+            warm = make_query(None, encoded=warm_feats, frames=warm_frames)
         else:
-            warm = make_query(np.zeros(int(3.0 * SAMPLE_RATE), np.float32))
+            warm = make_query(np.zeros(int(3.0 * SAMPLE_RATE), np.float32),
+                              frames=warm_frames)
         warm.max_new_tokens = 9
         e.submit(warm)
         e.run_until_idle()
@@ -220,26 +276,35 @@ def main(argv: Optional[List[str]] = None) -> int:
           f"({len(chunks) * CHUNK_SAMPLES / SAMPLE_RATE:.1f} s of audio)"
           + (" [whale encode overlaps speech]" if streaming else ""))
     n_queries = 0
-    for chunk in chunks:
+    for ci, chunk in enumerate(chunks):
+        if camera is not None:
+            # one camera frame per mic chunk (4 fps at 0.25 s chunks),
+            # looping the source like a live feed
+            camera.push(cam_frames[ci % len(cam_frames)])
         if streaming:
             t_eos = time.time()
             utt = frontend.process(chunk)
             if utt is None:
                 continue
             n_queries += 1
+            tiles = camera_tiles()
             print(f"\n[vad] utterance {n_queries}: "
                   f"{len(utt.wav) / SAMPLE_RATE:.2f}s, encode flush "
                   f"{(time.time() - t_eos) * 1e3:.0f}ms "
-                  f"-> monitor engine {1 - ctl.generator_idx}")
-            ctl.submit_query(make_query(utt.wav, encoded=utt.features))
+                  + (f"+ {len(tiles)} video tiles " if tiles else "")
+                  + f"-> monitor engine {1 - ctl.generator_idx}")
+            ctl.submit_query(make_query(utt.wav, encoded=utt.features,
+                                        frames=tiles))
             time.sleep(args.settle_s)  # let the answer stream (real time)
             continue
         seg = vad.process(chunk)
         if seg is not None:
             n_queries += 1
+            tiles = camera_tiles()
             print(f"\n[vad] utterance {n_queries}: {len(seg) / SAMPLE_RATE:.2f}s "
-                  f"-> monitor engine {1 - ctl.generator_idx}")
-            ctl.submit_query(make_query(seg))
+                  + (f"+ {len(tiles)} video tiles " if tiles else "")
+                  + f"-> monitor engine {1 - ctl.generator_idx}")
+            ctl.submit_query(make_query(seg, frames=tiles))
             time.sleep(args.settle_s)  # let the answer stream (real time)
 
     time.sleep(args.settle_s)
