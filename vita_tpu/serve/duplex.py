@@ -49,6 +49,7 @@ class DuplexController:
         on_tts: Optional[Callable[[str], None]] = None,
         config: Optional[DuplexConfig] = None,
         on_turn: Optional[Callable[["Request", str], None]] = None,
+        on_sentence: Optional[Callable[[str, "Request"], None]] = None,
     ):
         config = config or DuplexConfig()  # fresh per controller
         assert len(engines) == 2
@@ -56,6 +57,10 @@ class DuplexController:
         self.decode = decode
         self.on_text = on_text or (lambda s: None)
         self.on_tts = on_tts or (lambda s: None)
+        # like on_tts but also receives the originating Request — the TTS
+        # worker needs turn identity to drop stale chunks after an
+        # interrupt (serve.tts; reference llm_id protocol, :565-601)
+        self.on_sentence = on_sentence
         # called with (request, raw response text incl. state token) when a
         # promoted answer completes — the hook multi-turn history hangs off
         self.on_turn = on_turn or (lambda r, t: None)
@@ -181,11 +186,16 @@ class _StateTokenGate:
                 break
             candidate = self.tts_pending[: cut + 1]
             if len(candidate.strip()) >= MIN_TTS_CHARS:
-                self.ctl.on_tts(candidate)
+                self._emit_tts(candidate)
                 self.tts_pending = self.tts_pending[cut + 1 :]
                 self._tts_scan = 0
             else:
                 self._tts_scan = cut + 1
+
+    def _emit_tts(self, sentence: str) -> None:
+        self.ctl.on_tts(sentence)
+        if self.ctl.on_sentence is not None:
+            self.ctl.on_sentence(sentence, self.req)
 
     def on_finish(self, tokens: List[int], reason: str) -> None:
         if self.decided and reason != "cancelled":
@@ -193,7 +203,7 @@ class _StateTokenGate:
             # remainder) before the final TTS flush
             self._stream(self.ctl.decode(tokens), final=True)
             if self.tts_pending.strip():
-                self.ctl.on_tts(self.tts_pending)
+                self._emit_tts(self.tts_pending)
                 self.tts_pending = ""
         if self.decided and not self.req.cancelled and reason != "cancelled":
             self.ctl.on_turn(self.req, self.ctl.decode(tokens))

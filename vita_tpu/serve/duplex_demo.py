@@ -87,6 +87,14 @@ def main(argv: Optional[List[str]] = None) -> int:
                         "last 8 camera frames and attach them to each query "
                         "as video context (reference "
                         "web_interactive_demo.py:706-720)")
+    p.add_argument("--tts-dir", default=None,
+                   help="directory for per-sentence synthesized wavs "
+                        "(default: a temp dir under --simulate, else off)")
+    p.add_argument("--no-tts", action="store_true",
+                   help="print sentence flushes only; skip synthesis/pacing")
+    p.add_argument("--tts-pace", type=float, default=1.5,
+                   help="sleep factor x clip duration per played chunk "
+                        "(reference text_streamer sleeps 1.5x)")
     args = p.parse_args(argv)
 
     import jax
@@ -251,7 +259,57 @@ def main(argv: Optional[List[str]] = None) -> int:
     def on_tts(sentence: str) -> None:
         print(f"\n[tts] {sentence.strip()!r}")
 
-    ctl = DuplexController(engines, decode, on_text, on_tts, on_turn=on_turn)
+    # real TTS: synthesize each sentence off-thread, pace playback by clip
+    # duration, drop chunks from interrupted turns (reference tts_worker +
+    # text_streamer protocol, web_interactive_demo.py:419-601,743-772)
+    tts_worker = streamer = None
+    on_sentence = None
+    if not args.no_tts:
+        import os
+        import tempfile
+
+        from vita_tpu.serve.tts import PacedStreamer, TTSWorker, write_wav
+
+        tts_dir = args.tts_dir
+        if tts_dir is None and args.simulate:
+            tts_dir = tempfile.mkdtemp(prefix="vita_tts_")
+        if tts_dir:
+            os.makedirs(tts_dir, exist_ok=True)
+        from vita_tpu.serve.tts import normalize_tts_text
+
+        tts_worker = TTSWorker()
+        turn_seq = {"n": 0}
+
+        def on_sentence(sentence: str, request) -> None:
+            if not hasattr(request, "_tts_llm_id"):
+                turn_seq["n"] += 1
+                request._tts_llm_id = turn_seq["n"]
+            if args.model == "tiny-random" and not normalize_tts_text(sentence):
+                # random weights emit non-text bytes; transliterate so the
+                # synthesis/pacing loop still runs end-to-end in the demo
+                sentence = "".join(
+                    "aeioubdklmnprst"[ord(c) % 15] for c in sentence) + "."
+            tts_worker.submit(request._tts_llm_id, sentence)
+
+        def on_play(chunk) -> None:
+            line = f"\n[tts-play] #{chunk.llm_id} {chunk.duration_s:.2f}s {chunk.text!r}"
+            if tts_dir:
+                path = os.path.join(
+                    tts_dir, f"turn{chunk.llm_id:03d}_{len(streamer.played):03d}.wav")
+                write_wav(path, chunk.audio)
+                line += f" -> {path}"
+            print(line)
+
+        streamer = PacedStreamer(
+            tts_worker.outputs,
+            current_llm_id=lambda: getattr(ctl.current, "_tts_llm_id", 0)
+            if ctl.current is not None else 0,
+            on_play=on_play,
+            pace_factor=args.tts_pace,
+        )
+
+    ctl = DuplexController(engines, decode, on_text, on_tts, on_turn=on_turn,
+                           on_sentence=on_sentence)
 
     vad = StreamingVAD(VADConfig(min_dialog_s=1.5))
     if args.wav:
@@ -312,6 +370,15 @@ def main(argv: Optional[List[str]] = None) -> int:
         t.stop()
     for t in threads:  # let in-flight dispatches land (clean runtime exit)
         t.join(timeout=60)
+    if tts_worker is not None:
+        tts_worker.drain()  # let queued sentences synthesize
+        t0 = time.time()
+        while not tts_worker.outputs.empty() and time.time() - t0 < 30:
+            time.sleep(0.05)  # ...and the streamer play them out
+        tts_worker.stop()
+        streamer.stop()
+        print(f"\n[tts] played {len(streamer.played)} chunk(s), "
+              f"skipped {streamer.skipped_stale} stale")
     print(f"\n[demo] done: {n_queries} queries, {ctl.interrupts} interrupt(s), "
           f"{ctl.rejected_noise} noise rejection(s), final generator: engine "
           f"{ctl.generator_idx}")
