@@ -132,25 +132,41 @@ def test_pp_and_serving_mesh_coexist(tiny, ep_mesh):
 
 
 def test_mesh_engine_inherited_training_modes(tiny, ep_mesh):
-    """Regression: a checkpoint whose config carries a training dispatch
-    mode must still serve sharded — inherited 'sort' prefills with sort
-    (GSPMD ops), inherited 'gmm' falls back to dense; only an EXPLICIT
-    gmm prefill request is an error under a mesh."""
+    """A checkpoint whose config carries a training dispatch mode serves
+    sharded with the SAME dispatch — 'sort' via GSPMD ops, 'gmm' via the
+    EP-sharded grouped-matmul islands (no more dense fallback)."""
     import dataclasses
 
     from vita_tpu.serve.engine import Engine
 
     cfg, params = tiny
-    for mode, want_prefill in (("sort", "sort"), ("gmm", "dense")):
+    for mode in ("sort", "gmm"):
         c = dataclasses.replace(
             cfg, llm=dataclasses.replace(cfg.llm, moe_mode=mode))
         eng = Engine(params, c, n_slots=1, max_len=64, mesh=ep_mesh,
                      decode_moe_mode="gather")
-        assert eng._prefill_llm_cfg.moe_mode == want_prefill
+        assert eng._prefill_llm_cfg.moe_mode == mode
 
-    with pytest.raises(ValueError, match="single-chip"):
-        Engine(params, cfg, n_slots=1, max_len=64, mesh=ep_mesh,
-               prefill_moe_mode="gmm")
+
+def test_engine_with_mesh_gmm_prefill_matches_dense(tiny, ep_mesh):
+    """Sharded gmm prefill (sharded_gmm_ffn: per-shard grouped matmul
+    over local experts, foreign pairs weight-zeroed, psum) must be
+    token-identical to the dense prefill on the same mesh AND to the
+    single-chip gmm engine (VERDICT r2 weak item 4)."""
+    cfg, params = tiny
+    prompt = np.array([1, 50, 60, 70, 21, 33, 47], np.int32)
+
+    def run(mesh, mode):
+        eng = Engine(params, cfg, n_slots=1, max_len=64,
+                     mesh=mesh, prefill_moe_mode=mode)
+        r = Request(input_ids=prompt, max_new_tokens=6, eos_id=-1)
+        eng.submit(r)
+        eng.run_until_idle()
+        return r.tokens
+
+    want = run(ep_mesh, "dense")
+    assert run(ep_mesh, "gmm") == want
+    assert run(None, "gmm") == want
 
 
 def test_gmm_trained_checkpoint_serves(tiny):

@@ -506,6 +506,27 @@ def forward(
             out = jnp.sum(eo * topk_w[..., None].astype(h2d.dtype), axis=1)
             return out.astype(h2d.dtype), aux
 
+        # gmm prefill under a serving mesh: EP-sharded grouped matmul
+        # (sharded_gmm_ffn psums per-shard partials) so mesh serving keeps
+        # the dispatch win instead of falling back to dense
+        gmm_sharded = cfg.moe_mode == "gmm" and mesh is not None and stacked
+
+        def moe_gmm_sharded_layer(h2d, moe_lp, layer_idx):
+            from vita_tpu.parallel.sharded_ops import sharded_gmm_ffn
+
+            router_logits = jnp.einsum(
+                "td,de->te", h2d.astype(jnp.float32),
+                moe_lp["router"].astype(jnp.float32),
+            )
+            topk_w, topk_i, probs = route_topk(router_logits, cfg.top_k)
+            aux = load_balancing_loss(probs, topk_i, cfg.n_experts, tm_flat)
+            out = sharded_gmm_ffn(
+                h2d, topk_w, topk_i,
+                {k: v for k, v in layers["moe"].items() if k != "router"},
+                layer_idx, cfg.n_experts, mesh=mesh,
+            )
+            return out.astype(h2d.dtype), aux
+
         x = inputs_embeds
         aux_total = jnp.zeros((), jnp.float32)
         new_ks, new_vs = [], []
@@ -520,10 +541,11 @@ def forward(
                     "attn": jax.tree.map(lambda a: a[i], layers["attn"]),
                     "ln_attn": layers["ln_attn"][i],
                     "ln_moe": layers["ln_moe"][i],
-                    # gather modes read experts from moe_flat; only the
-                    # router is needed per layer
+                    # gather modes read experts from moe_flat (and sharded
+                    # gmm from the whole stacked arrays); only the router
+                    # is needed per layer
                     "moe": {"router": layers["moe"]["router"][i]}
-                    if gather_mode
+                    if (gather_mode or gmm_sharded)
                     else jax.tree.map(lambda a: a[i], layers["moe"]),
                 }
             else:
@@ -545,6 +567,8 @@ def forward(
             h = rms_norm(x, lp["ln_moe"], cfg.rms_eps)
             if gather_mode:
                 moe_out, aux = moe_gather_layer(h.reshape(b * s, d), lp["moe"], i)
+            elif gmm_sharded:
+                moe_out, aux = moe_gmm_sharded_layer(h.reshape(b * s, d), lp["moe"], i)
             else:
                 moe_out, aux = moe_ffn(
                     lp["moe"], h.reshape(b * s, d), cfg.top_k,

@@ -260,19 +260,11 @@ class Engine:
         # with ~4x fewer MoE FLOPs, measured worthwhile for long-prompt
         # chunks (tools/bench_prefill_moe.py); 'sort' is faster still but
         # capacity-dropping (not bit-exact vs the reference's dense path).
-        # The gmm Pallas kernel is single-chip: explicitly requesting it
-        # with a mesh is an error; an INHERITED gmm quietly falls back to
-        # dense (sort/capacity/dense are XLA ops, GSPMD-shardable).
-        if prefill_moe_mode is not None and mesh is not None \
-                and prefill_moe_mode == "gmm":
-            raise ValueError(
-                "gmm prefill dispatch is single-chip only; sharded "
-                "serving prefills with dense/capacity/sort (GSPMD ops)"
-            )
+        # Under a mesh, gmm runs as EP-sharded shard_map islands
+        # (parallel/sharded_ops.sharded_gmm_ffn psums per-shard partials),
+        # so mesh serving keeps the grouped-matmul prefill win.
         if prefill_moe_mode is None:
             prefill_moe_mode = cfg.llm.moe_mode
-            if prefill_moe_mode == "gmm" and mesh is not None:
-                prefill_moe_mode = "dense"
         if prefill_moe_mode not in ("dense", "capacity", "sort", "gmm"):
             raise ValueError(f"bad prefill_moe_mode {prefill_moe_mode!r}")
         self._prefill_llm_cfg = dataclasses.replace(
