@@ -126,3 +126,30 @@ def test_factory_eva():
     params = t.init(jax.random.PRNGKey(0))
     out = t.forward(params, jnp.zeros((1, 56, 56, 3)))
     assert out.shape[-1] == t.out_dim
+
+
+def test_eva_clip_golden():
+    """Our EVA02 forward vs the reference's in-tree ViT (eva_vit.py,
+    xattn=False math, rope+subln+naiveswiglu) — golden regenerated by
+    tools/regen_goldens.py --only eva. Also pins our rope tables to the
+    reference's registered freq buffers."""
+    import pathlib
+
+    from vita_tpu.models import eva_clip as ev
+    from vita_tpu.utils.hf_import import eva_params_from_reference
+
+    z = np.load(pathlib.Path(__file__).parent / "goldens" / "eva_tiny.npz")
+    state = {k[3:]: z[k] for k in z.files if k.startswith("sd_")}
+    # golden model has torch depth 2, but the reference forward SKIPS the
+    # last block (eva_vit.py:791-792) -> effective depth 1
+    cfg = ev.EVAConfig.tiny(n_layers=1)
+    params = jax.tree.map(jnp.asarray,
+                          eva_params_from_reference(state, cfg.n_layers))
+    # rope parity: the reference registers its angle tables as buffers
+    cos, sin = ev.vision_rope_tables(cfg)
+    np.testing.assert_allclose(cos, state["rope.freqs_cos"], rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(sin, state["rope.freqs_sin"], rtol=1e-6, atol=1e-6)
+
+    out = ev.forward(params, cfg, jnp.asarray(z["image"].transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(out), z["expected"],
+                               rtol=1e-4, atol=1e-5)

@@ -45,12 +45,43 @@ def _stub_missing_deps():
             def __init__(self, drop_prob=0.0):
                 super().__init__()
 
+        import torch
+
+        def to_2tuple(x):
+            return x if isinstance(x, tuple) else (x, x)
+
+        def drop_path(x, drop_prob=0.0, training=False):
+            return x  # rate 0 at golden geometry
+
         layers.DropPath = DropPath
+        layers.drop_path = drop_path
+        layers.to_2tuple = to_2tuple
+        layers.trunc_normal_ = torch.nn.init.trunc_normal_
         models.layers = layers
         timm.models = models
+        timm.layers = layers
         sys.modules["timm"] = timm
         sys.modules["timm.models"] = models
         sys.modules["timm.models.layers"] = layers
+        sys.modules["timm.layers"] = layers
+
+    if "xformers" not in sys.modules:
+        # eva_vit.py imports xformers.ops at module level but only calls
+        # it when xattn=True; the golden runs the xattn=False math
+        import importlib.machinery
+
+        xf = types.ModuleType("xformers")
+        ops = types.ModuleType("xformers.ops")
+
+        def _no_xattn(*a, **k):
+            raise RuntimeError("xformers stub: golden must run xattn=False")
+
+        ops.memory_efficient_attention = _no_xattn
+        xf.ops = ops
+        for mod, name in ((xf, "xformers"), (ops, "xformers.ops")):
+            mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+        sys.modules["xformers"] = xf
+        sys.modules["xformers.ops"] = ops
 
 
 def _load_module(path, name, package_dir):
@@ -112,6 +143,43 @@ def regen_internvit(ref_dir, out_dir):
     data["expected"] = expected.numpy()
     np.savez(os.path.join(out_dir, "internvit_tiny.npz"), **data)
     print("internvit_tiny.npz regenerated")
+
+
+def regen_eva(ref_dir, out_dir):
+    """EVA02 golden from the reference's in-tree ViT (VERDICT r2 missing
+    item 5): vita/model/multimodal_encoder/eva_clip/eva_vit.py at tiny
+    geometry, xattn=False (the xattn branch is the same attention via
+    xformers — unavailable without CUDA; stubbed to raise if reached),
+    rope+subln+naiveswiglu on as in Eva2LargePlusEncoder (:945-974)."""
+    import functools
+
+    import numpy as np
+    import torch
+
+    d = os.path.join(ref_dir, "vita/model/multimodal_encoder/eva_clip")
+    m = _load_module(os.path.join(d, "eva_vit.py"), "eva_vit", d)
+    torch.manual_seed(0)
+    model = m.EVAVisionTransformer(
+        img_size=56, patch_size=14, num_classes=32, embed_dim=32, depth=2,
+        num_heads=4, mlp_ratio=8 / 3, qkv_bias=True, drop_path_rate=0.0,
+        norm_layer=functools.partial(m.LayerNorm, eps=1e-6),
+        use_mean_pooling=False, init_values=None, patch_dropout=0.0,
+        xattn=False, rope=True, postnorm=False, pt_hw_seq_len=4,
+        intp_freq=True, naiveswiglu=True, subln=True,
+    ).eval().float()
+    for p in model.parameters():
+        torch.nn.init.normal_(p, std=0.05)
+    x = torch.from_numpy(
+        np.random.RandomState(2).randn(2, 3, 56, 56).astype(np.float32)
+    )
+    with torch.no_grad():
+        # Eva2LargePlusEncoder.forward: all features, CLS dropped (:973)
+        out = model(x, return_all_features=True)[:, 1:, :]
+    data = {f"sd_{k}": v.numpy() for k, v in model.state_dict().items()}
+    data["image"] = x.numpy()
+    data["expected"] = out.numpy()
+    np.savez(os.path.join(out_dir, "eva_tiny.npz"), **data)
+    print("eva_tiny.npz regenerated")
 
 
 def regen_whale(ref_dir, out_dir):
@@ -221,7 +289,8 @@ def main():
     p.add_argument("--reference", default="/root/reference")
     p.add_argument("--out", default=os.path.join(
         os.path.dirname(__file__), "..", "tests", "goldens"))
-    p.add_argument("--only", nargs="*", default=["internvit", "whale", "projectors"])
+    p.add_argument("--only", nargs="*",
+                   default=["internvit", "whale", "projectors", "eva"])
     args = p.parse_args()
 
     _stub_missing_deps()
@@ -231,6 +300,8 @@ def main():
         regen_whale(args.reference, args.out)
     if "projectors" in args.only:
         regen_projectors(args.out)
+    if "eva" in args.only:
+        regen_eva(args.reference, args.out)
 
 
 if __name__ == "__main__":

@@ -34,7 +34,11 @@ class EVAConfig:
     image_size: int = 336
     patch_size: int = 14
     hidden: int = 1024
-    n_layers: int = 24
+    # EVA02-L has depth 24, but the reference tower SKIPS the final block
+    # (eva_vit.py:791-792 `if i == len(self.blocks) - 1: continue`), so the
+    # effective — and our — layer count is 23; weight import drops the dead
+    # last block (utils.hf_import.eva_params_from_reference).
+    n_layers: int = 23
     n_heads: int = 16
     mlp_ratio: float = 8 / 3  # SwiGLU hidden = round(hidden * ratio)
     ln_eps: float = 1e-6
@@ -121,8 +125,9 @@ def init_params(rng: jax.Array, cfg: EVAConfig) -> Params:
             "v_w": nrm(k[5], (nl, d, d), s), "v_b": jnp.zeros((nl, d), dt),
             "inner_ln_w": jnp.ones((nl, d), dt), "inner_ln_b": jnp.zeros((nl, d), dt),
             "o_w": nrm(k[6], (nl, d, d), s), "o_b": jnp.zeros((nl, d), dt),
-            "w1": nrm(k[7], (nl, d, mh), s),  # SwiGLU gate
-            "w2": nrm(k[8], (nl, d, mh), s),  # SwiGLU value
+            # SwiGLU gate/value carry biases (eva_vit.py:244-245 nn.Linear)
+            "w1": nrm(k[7], (nl, d, mh), s), "w1_b": jnp.zeros((nl, mh), dt),
+            "w2": nrm(k[8], (nl, d, mh), s), "w2_b": jnp.zeros((nl, mh), dt),
             "ffn_ln_w": jnp.ones((nl, mh), dt), "ffn_ln_b": jnp.zeros((nl, mh), dt),
             "w3": nrm(k[9], (nl, mh, d), mh**-0.5), "w3_b": jnp.zeros((nl, d), dt),
             "ln1_w": jnp.ones((nl, d), dt), "ln1_b": jnp.zeros((nl, d), dt),
@@ -159,7 +164,7 @@ def forward(params: Params, cfg: EVAConfig, images: jnp.ndarray) -> jnp.ndarray:
         x = x + (attn @ lp["o_w"] + lp["o_b"])
 
         h = layer_norm(x, lp["ln2_w"], lp["ln2_b"], cfg.ln_eps)
-        hidden = jax.nn.silu(h @ lp["w1"]) * (h @ lp["w2"])  # naive SwiGLU
+        hidden = jax.nn.silu(h @ lp["w1"] + lp["w1_b"]) * (h @ lp["w2"] + lp["w2_b"])
         hidden = layer_norm(hidden, lp["ffn_ln_w"], lp["ffn_ln_b"], cfg.ln_eps)  # subln
         x = x + (hidden @ lp["w3"] + lp["w3_b"])
         return x, None

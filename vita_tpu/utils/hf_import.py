@@ -199,6 +199,56 @@ def whale_params_from_hf(
     }
 
 
+def eva_params_from_reference(state: Mapping[str, Any], n_layers: int,
+                              dtype=np.float32):
+    """Convert the reference EVA ViT weights (eva_clip/eva_vit.py
+    EVAVisionTransformer, subln+naiveswiglu+rope geometry as built by
+    Eva2LargePlusEncoder :945-974) to our models/eva_clip.py pytree.
+    Rope freq buffers are regenerated (vision_rope_tables), not imported.
+
+    ``n_layers`` is the EFFECTIVE depth: the reference forward skips the
+    final block (eva_vit.py:791-792), so a depth-24 checkpoint imports as
+    n_layers=23 and blocks.23.* is intentionally dropped here.
+    """
+    g = lambda n: _np(state[n]).astype(dtype)
+    pw = g("patch_embed.proj.weight")  # [D, 3, p, p]
+    d = pw.shape[0]
+
+    def stack(fmt, transpose=True):
+        mats = [g(fmt.format(l=l)) for l in range(n_layers)]
+        return np.stack([m.T if transpose else m for m in mats])
+
+    L = "blocks.{l}."
+    return {
+        "patch_embed": {"w": pw.reshape(d, -1).T, "b": g("patch_embed.proj.bias")},
+        "cls": g("cls_token").reshape(-1),
+        "pos_embed": g("pos_embed")[0],
+        "layers": {
+            "q_w": stack(L + "attn.q_proj.weight"),
+            "q_b": stack(L + "attn.q_bias", transpose=False),
+            "k_w": stack(L + "attn.k_proj.weight"),
+            "v_w": stack(L + "attn.v_proj.weight"),
+            "v_b": stack(L + "attn.v_bias", transpose=False),
+            "inner_ln_w": stack(L + "attn.inner_attn_ln.weight", transpose=False),
+            "inner_ln_b": stack(L + "attn.inner_attn_ln.bias", transpose=False),
+            "o_w": stack(L + "attn.proj.weight"),
+            "o_b": stack(L + "attn.proj.bias", transpose=False),
+            "w1": stack(L + "mlp.w1.weight"),
+            "w1_b": stack(L + "mlp.w1.bias", transpose=False),
+            "w2": stack(L + "mlp.w2.weight"),
+            "w2_b": stack(L + "mlp.w2.bias", transpose=False),
+            "ffn_ln_w": stack(L + "mlp.ffn_ln.weight", transpose=False),
+            "ffn_ln_b": stack(L + "mlp.ffn_ln.bias", transpose=False),
+            "w3": stack(L + "mlp.w3.weight"),
+            "w3_b": stack(L + "mlp.w3.bias", transpose=False),
+            "ln1_w": stack(L + "norm1.weight", transpose=False),
+            "ln1_b": stack(L + "norm1.bias", transpose=False),
+            "ln2_w": stack(L + "norm2.weight", transpose=False),
+            "ln2_b": stack(L + "norm2.bias", transpose=False),
+        },
+    }
+
+
 def _tree_paths(tree, prefix=""):
     """Flatten a param pytree to sorted ('a.b.c', leaf) pairs."""
     out = []
