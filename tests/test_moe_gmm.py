@@ -84,6 +84,7 @@ def test_sorted_layout_properties():
     np.testing.assert_array_equal(g[dest // TILE_M], fe_s)
 
 
+@pytest.mark.slow
 def test_gmm_kernel_interpret_matches_einsum():
     """The Pallas kernels themselves (not the XLA fallback): fwd, dgrad via
     transpose_rhs, and the consecutive-run wgrad, in interpreter mode."""
@@ -120,6 +121,7 @@ def test_gmm_kernel_interpret_matches_einsum():
     np.testing.assert_array_equal(np.asarray(dw[1]), np.zeros((k_dim, n_dim)))
 
 
+@pytest.mark.slow
 def test_gmm_kernel_interpret_big_schedule(monkeypatch):
     """The k-blocked big-R schedule (training sizes) must match the
     weights-once small-R schedule; force it via the R threshold."""

@@ -638,6 +638,7 @@ def test_engine_concurrent_prefills_overlap(tiny):
         assert r.tokens == want
 
 
+@pytest.mark.slow
 def test_engine_soak_page_conservation(tiny):
     """Randomized 500-request churn (admit / cancel mid-flight / session
     reuse / pool pressure): every page returns to the pool or a cached

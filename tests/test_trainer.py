@@ -97,6 +97,7 @@ def test_freeze_masks_hold(tiny_cfg):
     )
 
 
+@pytest.mark.slow
 def test_trainer_end_to_end_with_resume(tiny_cfg, tmp_path):
     from PIL import Image
 
