@@ -232,3 +232,76 @@ def test_pipeline_composes_with_ring_attention_and_tp():
                                np.asarray(ref, np.float32),
                                rtol=2e-5, atol=2e-5)
     assert np.isfinite(float(aux))
+
+
+def test_pp_decode_greedy_matches_sequential():
+    """Ring-schedule PP decode (pipeline_decode_greedy): S waves decoding
+    over a 4-stage pipe produce token-for-token the same greedy
+    continuations as the unpipelined single-step decode loop, and the
+    updated cache chains into a second call. Reference role: the decode
+    half of vLLM's PP plumbing (vllm_file/mixtral.py:592-628), never
+    deployed by the reference."""
+    cfg = _cfg()  # 4 layers, dense MoE (smooth routing)
+    params = mixtral.init_params(jax.random.PRNGKey(0), cfg)
+    S, B, T0, MAXLEN, N_NEW = 4, 2, 7, 32, 5
+    mesh = _pipe_mesh(pipe=S)
+
+    rng = np.random.default_rng(0)
+    prompts = rng.integers(1, cfg.vocab_size, (S, B, T0)).astype(np.int32)
+
+    # reference: per-wave prefill + sequential greedy single-token steps
+    ref_tokens = np.zeros((S, N_NEW * 2, B), np.int32)
+    for w in range(S):
+        cache = mixtral.init_kv_cache(cfg, batch=B, max_len=MAXLEN)
+        logits, cache, _ = mixtral.forward(
+            params, cfg, input_ids=jnp.asarray(prompts[w]), cache=cache
+        )
+        tok = jnp.argmax(logits[:, T0 - 1].astype(jnp.float32), -1)
+        for i in range(N_NEW * 2):
+            logits, cache, _ = mixtral.forward(
+                params, cfg, input_ids=tok[:, None].astype(jnp.int32),
+                cache=cache,
+            )
+            tok = jnp.argmax(logits[:, -1].astype(jnp.float32), -1)
+            ref_tokens[w, i] = np.asarray(tok)
+
+    # PP: same prefill (unpipelined), caches stacked wave-major
+    pp_cache = mixtral.init_pp_kv_cache(cfg, n_waves=S, batch=B,
+                                        max_len=MAXLEN)
+    ks, vs, first = [], [], []
+    for w in range(S):
+        cache = mixtral.init_kv_cache(cfg, batch=B, max_len=MAXLEN)
+        logits, cache, _ = mixtral.forward(
+            params, cfg, input_ids=jnp.asarray(prompts[w]), cache=cache
+        )
+        ks.append(cache["k"])
+        vs.append(cache["v"])
+        first.append(jnp.argmax(logits[:, T0 - 1].astype(jnp.float32), -1))
+    pp_cache = {
+        "k": jnp.stack(ks, axis=1),
+        "v": jnp.stack(vs, axis=1),
+        "pos": jnp.full((S, B), T0, jnp.int32),
+    }
+    first_tokens = jnp.stack(first).astype(jnp.int32)
+
+    run = jax.jit(
+        lambda p, c, f: mixtral.pp_decode_greedy(p, cfg, mesh, c, f, N_NEW)
+    )
+    toks1, pp_cache = run(params, pp_cache, first_tokens)
+    np.testing.assert_array_equal(np.asarray(toks1), ref_tokens[:, :N_NEW])
+
+    # chain: continue from the updated cache with the last sampled tokens
+    toks2, pp_cache = run(params, pp_cache, toks1[:, -1])
+    np.testing.assert_array_equal(np.asarray(toks2), ref_tokens[:, N_NEW:])
+    assert np.asarray(pp_cache["pos"]).min() == T0 + 2 * N_NEW
+
+
+def test_pp_decode_validates():
+    cfg = _cfg()
+    params = mixtral.init_params(jax.random.PRNGKey(0), cfg)
+    mesh = _pipe_mesh(pipe=4)
+    cache = mixtral.init_pp_kv_cache(cfg, n_waves=2, batch=1, max_len=8)
+    with pytest.raises(ValueError, match="wave count"):
+        mixtral.pp_decode_greedy(
+            params, cfg, mesh, cache, jnp.zeros((2, 1), jnp.int32), 2
+        )

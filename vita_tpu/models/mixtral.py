@@ -632,3 +632,86 @@ def forward(
     elif cache is not None:
         new_cache = {"k": new_kv[0], "v": new_kv[1], "pos": cache["pos"] + s}
     return logits, new_cache, aux_total / cfg.n_layers
+
+
+def init_pp_kv_cache(
+    cfg: MixtralConfig, n_waves: int, batch: int, max_len: int, dtype=None
+) -> Params:
+    """Wave-major KV cache for pipeline-parallel decode: leaves
+    [L, W, B, T, H_kv, Dh], pipe-sharded on the layer dim (each stage holds
+    rows for its own L/S layers only). ``pos`` is [W, B]."""
+    dt = dtype or cfg.dtype
+    shape = (cfg.n_layers, n_waves, batch, max_len, cfg.n_kv_heads, cfg.head_dim)
+    return {
+        "k": jnp.zeros(shape, dt),
+        "v": jnp.zeros(shape, dt),
+        "pos": jnp.zeros((n_waves, batch), jnp.int32),
+    }
+
+
+def pp_kv_cache_specs() -> Params:
+    return {"k": P("pipe"), "v": P("pipe"), "pos": P()}
+
+
+def pp_decode_greedy(
+    params: Params,
+    cfg: MixtralConfig,
+    mesh,
+    cache: Params,  # from init_pp_kv_cache, prefilled per wave
+    first_tokens: jnp.ndarray,  # [W, B] int32 — each wave's next input token
+    n_tokens: int,
+) -> Tuple[jnp.ndarray, Params]:
+    """Pipeline-parallel greedy decode: S waves ride the pipe-axis ring
+    (parallel/pipeline.py::pipeline_decode_greedy). Decode-path counterpart
+    of the reference's vLLM PP plumbing (vllm_file/mixtral.py:592-628),
+    which the reference plumbed but never deployed.
+
+    The layer body runs dense MoE routing (scan over stacked weights is
+    XLA-native inside the stage; the Pallas gather kernels must not consume
+    scan-sliced stacked weights — the flat-view trick would apply per-stage
+    the same way gmm_scan does, left for when PP decode meets a real
+    multi-chip deployment). Returns (tokens [W, n_tokens, B], cache).
+    """
+    from vita_tpu.parallel.pipeline import pipeline_decode_greedy
+
+    d = cfg.d_model
+
+    def stage_fn(local_layers, ck, cv, x, positions, kv_valid, cache_pos):
+        def f(carry, xs):
+            x = carry
+            lp, ck1, cv1 = xs
+            h = rms_norm(x, lp["ln_attn"], cfg.rms_eps)
+            attn_out, nk, nv = _attention_block(
+                lp["attn"], cfg, h, positions, kv_valid, ck1, cv1, cache_pos
+            )
+            x = x + attn_out
+            h = rms_norm(x, lp["ln_moe"], cfg.rms_eps)
+            b, s, _ = x.shape
+            moe_out, _ = moe_ffn(
+                lp["moe"], h.reshape(b * s, d), cfg.top_k, mode="dense"
+            )
+            return x + moe_out.reshape(b, s, d), (nk, nv)
+
+        y, (nk, nv) = jax.lax.scan(f, x, (local_layers, ck, cv))
+        return y, nk, nv
+
+    def finish_fn(head, y):
+        h = rms_norm(y, head["ln_final"], cfg.rms_eps)
+        logits = (h[:, 0] @ head["lm_head"]).astype(jnp.float32)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        emb = jnp.take(head["embed"], tok, axis=0)[:, None].astype(y.dtype)
+        return tok, emb
+
+    head = {
+        "ln_final": params["ln_final"],
+        "lm_head": params["lm_head"],
+        "embed": params["embed"],
+    }
+    x0 = jnp.take(params["embed"], first_tokens, axis=0)[:, :, None].astype(
+        cfg.dtype
+    )
+    toks, ck, cv = pipeline_decode_greedy(
+        mesh, stage_fn, finish_fn, params["layers"], head,
+        cache["k"], cache["v"], x0, cache["pos"], n_tokens,
+    )
+    return toks, {"k": ck, "v": cv, "pos": cache["pos"] + n_tokens}

@@ -162,3 +162,125 @@ def pipeline_layer_stack(
     # over layers; microbatches each saw bm rows of the batch, so average
     # the per-microbatch sums
     return x_out, aux_total / m
+
+
+def pipeline_decode_greedy(
+    mesh: Mesh,
+    stage_fn: Callable,  # (lp_local, ck_w, cv_w, x, positions, kv_valid, cache_pos) -> (y, nk, nv)
+    finish_fn: Callable,  # (head_params, y [B,1,D]) -> (tok [B] i32, emb [B,1,D])
+    stacked_params: Any,  # [L, ...] leaf pytree (pipe-sharded on dim 0)
+    head_params: Any,  # replicated: final norm / lm_head / embed table
+    cache_k: jnp.ndarray,  # [L, W, B, T_max, H_kv, Dh] (pipe-sharded on L)
+    cache_v: jnp.ndarray,
+    x0: jnp.ndarray,  # [W, B, 1, D] first-token embeddings per wave
+    pos0: jnp.ndarray,  # [W, B] int32 — rows already cached (prefill length)
+    n_tokens: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Ring-schedule pipeline-parallel DECODE: S waves in flight.
+
+    The decode-path half of the reference's vLLM PP plumbing
+    (web_demo/vllm_tools/vllm_file/mixtral.py:592-628 — `IntermediateTensors`
+    p2p between stage workers; the reference never deployed it). TPU-native
+    design: W == S independent decode groups ("waves") ride a `ppermute`
+    ring over the pipe axis inside one jitted shard_map. At every substep
+    each stage applies its L/S local layers to the wave it currently holds,
+    so all stages stay busy (no GPipe bubble in steady state) and one token
+    completes per substep. Wave w's token i is processed by stage s at
+    substep t = w + i*S + s; the last stage samples greedily and the new
+    token's embedding rides the ring wrap (S-1 -> 0) straight back into
+    stage 0 for the next substep. KV cache is sharded on the LAYER dim:
+    each stage holds [L/S, W, B, T] rows for its own layers only — this is
+    what lets a model whose weights exceed one chip's HBM decode across a
+    pipe axis without weight replication.
+
+    Per-token latency equals the unpipelined depth (S * stage time) plus S
+    ICI hops; throughput is S times the single-wave rate. Warmup/drain
+    bubbles of S-1 substeps are paid once per call, not per token.
+
+    Returns (tokens [W, n_tokens, B] int32, cache_k, cache_v) — caches
+    updated in place at each wave's positions, so calls chain.
+    """
+    if PIPE not in mesh.shape:
+        raise ValueError(f"mesh has no '{PIPE}' axis: {dict(mesh.shape)}")
+    n_stages = mesh.shape[PIPE]
+    w_waves, b = pos0.shape
+    if w_waves != n_stages:
+        raise ValueError(
+            f"wave count {w_waves} must equal pipe stages {n_stages}"
+        )
+    n_layers = jax.tree.leaves(stacked_params)[0].shape[0]
+    if n_layers % n_stages:
+        raise ValueError(
+            f"layer count {n_layers} not divisible by pipe stages {n_stages}"
+        )
+    t_max = cache_k.shape[3]
+    total = n_stages * n_tokens + n_stages - 1
+    feed = jnp.concatenate(
+        [x0, jnp.zeros((total - n_stages,) + x0.shape[1:], x0.dtype)], axis=0
+    )
+
+    def ring_fn(lp_local, head, ck, cv, feed, pos0):
+        stage = jax.lax.axis_index(PIPE)
+        nstg = jax.lax.axis_size(PIPE)
+        vary = lambda a: jax.lax.pcast(a, (PIPE,), to="varying")
+
+        def step(carry, x_in):
+            t, state, ck, cv, outs = carry
+            j = t - stage
+            valid = (j >= 0) & (j < nstg * n_tokens)
+            jc = jnp.maximum(j, 0)
+            wave = jc % nstg
+            itok = jc // nstg
+            # stage 0 takes the feed for a wave's first token; everything
+            # else consumes what the ring delivered last substep
+            x_cur = jnp.where((stage == 0) & (itok == 0), x_in, state)
+            pos_w = jnp.take(pos0, wave, axis=0) + itok  # [B]
+            # invalid substeps write at t_max -> scatter mode='drop'
+            cache_pos = jnp.where(valid, pos_w, t_max)
+            positions = pos_w[:, None]
+            kv_valid = jnp.arange(t_max)[None, :] <= pos_w[:, None]
+            ck_w = jax.lax.dynamic_index_in_dim(ck, wave, axis=1, keepdims=False)
+            cv_w = jax.lax.dynamic_index_in_dim(cv, wave, axis=1, keepdims=False)
+            y, nk, nv = stage_fn(
+                lp_local, ck_w, cv_w, x_cur, positions, kv_valid, cache_pos
+            )
+            # invalid substeps dropped their writes, so nk == ck_w there;
+            # unconditional write-back is safe
+            ck = jax.lax.dynamic_update_index_in_dim(ck, nk, wave, axis=1)
+            cv = jax.lax.dynamic_update_index_in_dim(cv, nv, wave, axis=1)
+
+            tok, emb = finish_fn(head, y)
+            # the LAST stage finishes wave (t-(S-1)) mod S token (t-(S-1))//S
+            jf = jnp.maximum(t - (nstg - 1), 0)
+            w_f, i_f = jf % nstg, jf // nstg
+            fin_valid = (t >= nstg - 1) & (i_f < n_tokens)
+            i_f = jnp.where(fin_valid, i_f, n_tokens)  # out of range -> drop
+            outs = outs.at[w_f, i_f].set(tok, mode="drop")
+            ring_out = jnp.where(stage == nstg - 1, emb, y)
+            state = jax.lax.ppermute(
+                ring_out, PIPE, [(i, (i + 1) % nstg) for i in range(nstg)]
+            )
+            return (t + 1, state, ck, cv, outs), None
+
+        init = (
+            jnp.int32(0),
+            vary(jnp.zeros(x0.shape[1:], x0.dtype)),
+            ck,
+            cv,
+            vary(jnp.zeros((w_waves, n_tokens, b), jnp.int32)),
+        )
+        (t, state, ck, cv, outs), _ = jax.lax.scan(step, init, feed)
+        # every stage accumulated ITS OWN argmax garbage; only the last
+        # stage's entries are the real tokens
+        toks = jax.lax.psum(
+            jnp.where(stage == nstg - 1, outs, jnp.zeros_like(outs)), PIPE
+        )
+        return toks, ck, cv
+
+    return jax.shard_map(
+        ring_fn,
+        mesh=mesh,
+        in_specs=(P(PIPE), P(), P(PIPE), P(PIPE), P(), P()),
+        out_specs=(P(), P(PIPE), P(PIPE)),
+        axis_names={PIPE},
+    )(stacked_params, head_params, cache_k, cache_v, feed, pos0)
