@@ -225,7 +225,8 @@ def main() -> None:
 
     rdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_results")
     for fname, prefix in (("whale_rtf.json", "recorded_audio_"),
-                          ("profile_decode.json", "recorded_profile_")):
+                          ("profile_decode.json", "recorded_profile_"),
+                          ("train_moe.json", "recorded_train_")):
         path = os.path.join(rdir, fname)
         if os.path.exists(path):
             try:

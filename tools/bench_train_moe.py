@@ -20,6 +20,9 @@ def main() -> None:
     p.add_argument("--seq", type=int, default=4096)
     p.add_argument("--layers", type=int, default=2)
     p.add_argument("--modes", nargs="*", default=["dense", "sort"])
+    p.add_argument("--save", action="store_true",
+                   help="write bench_results/train_moe.json (merged into "
+                        "bench.py extras as recorded_train_*)")
     args = p.parse_args()
 
     import dataclasses
@@ -89,11 +92,21 @@ def main() -> None:
         results["sort_speedup_vs_dense"] = round(
             results["dense_step_s"] / results["sort_step_s"], 2
         )
-    print(json.dumps({
+    out = {
         "metric": "moe_train_step",
         "batch": args.batch, "seq": args.seq, "layers": args.layers,
         **results,
-    }))
+    }
+    print(json.dumps(out))
+    if args.save:
+        import os
+
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "bench_results", "train_moe.json")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(out, f)
+        print("wrote", path)
 
 
 if __name__ == "__main__":

@@ -81,6 +81,23 @@ def main():
     for name, dcfg in (("paged_gather", gather), ("paged_dense", cfg)):
         results[name + "_ms"] = time_chunks(linear_fn(dcfg), make_paged, tok, pos) * 1e3
 
+    # weight-only quantized decode (bitsandbytes' role, ops/moe_decode
+    # gather_q/gather_q4 Pallas kernels): expert stream shrinks 2x/4x,
+    # attention/head/norms stay bf16
+    for bits, qmode in ((8, "gather_q"), (4, "gather_q4")):
+        qparams = mixtral.quantize_moe_for_decode(params, bits=bits)
+        qcfg = dataclasses.replace(cfg, moe_mode=qmode)
+
+        def qfn(cache, t, p, key, _qp=qparams, _qc=qcfg):
+            return decode_chunk(
+                _qp, cache, t, p, active, zf, zi, of, key,
+                llm_cfg=_qc, chunk_len=CHUNK, sampling_mode="greedy",
+            )
+
+        results[f"paged_int{bits}_ms"] = time_chunks(
+            qfn, make_paged, tok, pos) * 1e3
+        del qparams
+
     results.update(component_breakdown(cfg, params))
 
     # accounting: do the isolated components sum to the fused step?
