@@ -37,8 +37,10 @@ def time_chunks(fn, make_cache, tok, pos):
 
     run(1)  # compile+warm
     run(N_SMALL)
-    a = run(N_SMALL)
-    b = run(N_LARGE)
+    # tunnel jitter spikes (50-100 ms) dwarf per-step costs; min over
+    # repeats is the standard noise-robust timing estimator
+    a = min(run(N_SMALL) for _ in range(3))
+    b = min(run(N_LARGE) for _ in range(3))
     return (b - a) / ((N_LARGE - N_SMALL) * CHUNK)
 
 
@@ -143,7 +145,8 @@ def _timed_chain(step, init, consts=(), n_small=8, n_large=64):
 
     run(n_small)
     run(n_large)
-    a, b = run(n_small), run(n_large)
+    a = min(run(n_small) for _ in range(3))
+    b = min(run(n_large) for _ in range(3))
     return (b - a) / (n_large - n_small)
 
 

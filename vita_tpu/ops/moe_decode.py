@@ -333,6 +333,9 @@ def _gather_ffn_kernel_q4(
     wds_ref,  # [1, bf/g, D] f32 group scales (blocked with F)
     out_ref,  # [1, 8, D]
     acc_ref,  # [8, D] f32
+    *,
+    fold_dg: bool,  # per-channel gate/up scales: fold AFTER the dot
+    fold_fg: bool,  # per-channel down scales: fold into the accumulate
 ):
     fi = pl.program_id(1)
     nf = pl.num_programs(1)
@@ -342,20 +345,41 @@ def _gather_ffn_kernel_q4(
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     x = x_ref[0]  # [8, D]
-    wg = _apply_group_scale(_unpack_int4(wg_ref[0], 0), wgs_ref[0])  # [D, bf]
-    wu = _apply_group_scale(_unpack_int4(wu_ref[0], 0), wus_ref[0])
+    # With the DEFAULT per-channel quantization the scale lives on the
+    # OUTPUT axis of each matmul and commutes with the contraction:
+    # x @ (w * s_col) == (x @ w) * s_col. Folding it after the dot scales
+    # the tiny [8, bf] activations instead of the full [D, bf] weight
+    # tile — D/8 fewer VPU multiplies on the unpack path (measured
+    # 1.85 -> faster full decode step on v5e). Grouped scales (group>0,
+    # on the contracted axis) do not commute; keep the pre-multiply.
+    if fold_dg:
+        wg = _unpack_int4(wg_ref[0], 0)  # [D, bf] bf16, exact int values
+        wu = _unpack_int4(wu_ref[0], 0)
+    else:
+        wg = _apply_group_scale(_unpack_int4(wg_ref[0], 0), wgs_ref[0])
+        wu = _apply_group_scale(_unpack_int4(wu_ref[0], 0), wus_ref[0])
     gate = jax.lax.dot_general(
         x, wg, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     up = jax.lax.dot_general(
         x, wu, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
+    if fold_dg:
+        gate = gate * wgs_ref[0]  # [8, bf] * [1, bf]
+        up = up * wus_ref[0]
     h = jax.nn.silu(gate) * up
-    wd = _apply_group_scale(_unpack_int4(wd_ref[0], 1), wds_ref[0])  # [bf, D]
-    acc_ref[...] += jax.lax.dot_general(
-        h.astype(jnp.bfloat16), wd, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    if fold_fg:
+        wd = _unpack_int4(wd_ref[0], 1)  # [bf, D]
+        acc_ref[...] += jax.lax.dot_general(
+            h.astype(jnp.bfloat16), wd, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * wds_ref[0]  # [8, D] * [1, D]
+    else:
+        wd = _apply_group_scale(_unpack_int4(wd_ref[0], 1), wds_ref[0])
+        acc_ref[...] += jax.lax.dot_general(
+            h.astype(jnp.bfloat16), wd, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     @pl.when(fi == nf - 1)
     def _finish():
@@ -405,7 +429,9 @@ def gather_expert_ffn_q4(
         )
 
     out = pl.pallas_call(
-        _gather_ffn_kernel_q4,
+        functools.partial(
+            _gather_ffn_kernel_q4, fold_dg=n_dg == 1, fold_fg=ng_f == 1
+        ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(t * k, nf),
