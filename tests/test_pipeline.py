@@ -305,3 +305,46 @@ def test_pp_decode_validates():
         mixtral.pp_decode_greedy(
             params, cfg, mesh, cache, jnp.zeros((2, 1), jnp.int32), 2
         )
+
+
+def test_pp_decode_gather_mode_matches_sequential():
+    """PP decode with the gather MoE dispatch: each stage reads its LOCAL
+    stacked experts through flat [L/S*E] views (kernel never consumes
+    scan-sliced weights) — tokens must match the unpipelined gather-mode
+    decode exactly."""
+    cfg = dataclasses.replace(_cfg(), moe_mode="gather")
+    params = mixtral.init_params(jax.random.PRNGKey(0), cfg)
+    S, B, T0, MAXLEN, N_NEW = 2, 2, 5, 16, 4
+    mesh = _pipe_mesh(pipe=S)
+
+    rng = np.random.default_rng(1)
+    prompts = rng.integers(1, cfg.vocab_size, (S, B, T0)).astype(np.int32)
+
+    ref_tokens = np.zeros((S, N_NEW, B), np.int32)
+    ks, vs, first = [], [], []
+    for w in range(S):
+        cache = mixtral.init_kv_cache(cfg, batch=B, max_len=MAXLEN)
+        logits, cache, _ = mixtral.forward(
+            params, cfg, input_ids=jnp.asarray(prompts[w]), cache=cache
+        )
+        tok = jnp.argmax(logits[:, T0 - 1].astype(jnp.float32), -1)
+        ks.append(cache["k"])
+        vs.append(cache["v"])
+        first.append(tok)
+        for i in range(N_NEW):
+            logits, cache, _ = mixtral.forward(
+                params, cfg, input_ids=tok[:, None].astype(jnp.int32),
+                cache=cache,
+            )
+            tok = jnp.argmax(logits[:, -1].astype(jnp.float32), -1)
+            ref_tokens[w, i] = np.asarray(tok)
+
+    pp_cache = {
+        "k": jnp.stack(ks, axis=1),
+        "v": jnp.stack(vs, axis=1),
+        "pos": jnp.full((S, B), T0, jnp.int32),
+    }
+    toks, _ = jax.jit(
+        lambda p, c, f: mixtral.pp_decode_greedy(p, cfg, mesh, c, f, N_NEW)
+    )(params, pp_cache, jnp.stack(first).astype(jnp.int32))
+    np.testing.assert_array_equal(np.asarray(toks), ref_tokens)

@@ -666,20 +666,53 @@ def pp_decode_greedy(
     of the reference's vLLM PP plumbing (vllm_file/mixtral.py:592-628),
     which the reference plumbed but never deployed.
 
-    The layer body runs dense MoE routing (scan over stacked weights is
-    XLA-native inside the stage; the Pallas gather kernels must not consume
-    scan-sliced stacked weights — the flat-view trick would apply per-stage
-    the same way gmm_scan does, left for when PP decode meets a real
-    multi-chip deployment). Returns (tokens [W, n_tokens, B], cache).
-    """
+    MoE dispatch inside the stage follows cfg.moe_mode: the gather decode
+    modes read each stage's LOCAL stacked experts through flat
+    [L/S * E, ...] views with group ids li*E + topk (the same invariant as
+    gmm_scan — the Pallas kernels never consume lax.scan-sliced weights);
+    any other mode runs dense routing. Returns (tokens [W, n_tokens, B],
+    cache)."""
     from vita_tpu.parallel.pipeline import pipeline_decode_greedy
 
     d = cfg.d_model
+    gather_mode = cfg.moe_mode in ("gather", "gather_q", "gather_q4")
 
     def stage_fn(local_layers, ck, cv, x, positions, kv_valid, cache_pos):
-        def f(carry, xs):
+        if gather_mode:
+            from vita_tpu.ops.moe_decode import (
+                gather_expert_ffn,
+                gather_expert_ffn_q,
+                gather_expert_ffn_q4,
+            )
+
+            moe = local_layers["moe"]
+            # free metadata reshape of the whole LOCAL stacked arrays;
+            # closed over (not scanned), so the kernel operand is never a
+            # scan-sliced copy
+            flat = {
+                k: v.reshape((-1,) + v.shape[2:])
+                for k, v in moe.items()
+                if k != "router"
+            }
+            n_local = moe["router"].shape[0]
+            lids = jnp.arange(n_local, dtype=jnp.int32)
+            xs = (
+                {
+                    "attn": local_layers["attn"],
+                    "ln_attn": local_layers["ln_attn"],
+                    "ln_moe": local_layers["ln_moe"],
+                    "router": moe["router"],
+                },
+                ck, cv, lids,
+            )
+        else:
+            xs = (local_layers, ck, cv,
+                  jnp.arange(jax.tree.leaves(local_layers)[0].shape[0],
+                             dtype=jnp.int32))
+
+        def f(carry, xs_):
             x = carry
-            lp, ck1, cv1 = xs
+            lp, ck1, cv1, li = xs_
             h = rms_norm(x, lp["ln_attn"], cfg.rms_eps)
             attn_out, nk, nv = _attention_block(
                 lp["attn"], cfg, h, positions, kv_valid, ck1, cv1, cache_pos
@@ -687,12 +720,33 @@ def pp_decode_greedy(
             x = x + attn_out
             h = rms_norm(x, lp["ln_moe"], cfg.rms_eps)
             b, s, _ = x.shape
-            moe_out, _ = moe_ffn(
-                lp["moe"], h.reshape(b * s, d), cfg.top_k, mode="dense"
-            )
+            h2d = h.reshape(b * s, d)
+            if gather_mode:
+                router_logits = jnp.einsum(
+                    "td,de->te", h2d.astype(jnp.float32),
+                    lp["router"].astype(jnp.float32),
+                )
+                topk_w, topk_i, _ = route_topk(router_logits, cfg.top_k)
+                idx = topk_i + li * cfg.n_experts
+                if cfg.moe_mode == "gather_q4":
+                    eo = gather_expert_ffn_q4(h2d, idx, flat)
+                elif cfg.moe_mode == "gather_q":
+                    eo = gather_expert_ffn_q(h2d, idx, flat)
+                else:
+                    eo = gather_expert_ffn(
+                        h2d, idx, flat["w_gate"], flat["w_up"], flat["w_down"]
+                    )
+                moe_out = jnp.sum(
+                    eo * topk_w[..., None].astype(h2d.dtype), axis=1
+                ).astype(x.dtype)
+            else:
+                moe_out, _ = moe_ffn(
+                    lp["moe"], h2d, cfg.top_k, mode=cfg.moe_mode,
+                    capacity_factor=cfg.moe_capacity_factor,
+                )
             return x + moe_out.reshape(b, s, d), (nk, nv)
 
-        y, (nk, nv) = jax.lax.scan(f, x, (local_layers, ck, cv))
+        y, (nk, nv) = jax.lax.scan(f, x, xs)
         return y, nk, nv
 
     def finish_fn(head, y):
