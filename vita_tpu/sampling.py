@@ -89,11 +89,6 @@ def sample_tokens(
     return jnp.where(temperature <= 0.0, greedy, sampled)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("llm_cfg", "chunk_len", "sampling_mode", "mesh"),
-    donate_argnames=("cache",),
-)
 def decode_chunk(
     llm_params: Dict[str, Any],
     cache: Dict[str, Any],
@@ -121,11 +116,42 @@ def decode_chunk(
     block-pool cache ({'k_pages','v_pages','table','pos'}); the branch is
     static (pytree structure).
 
-    Returns (cache, tokens [B, chunk_len], next_tok [B], next_key).
+    Donation applies to the big KV arrays ONLY (in-place pool update);
+    table/pos and the sampling-tier arrays survive the call, so a serving
+    loop can keep them device-resident across chunks instead of
+    re-uploading per tick (each small H2D dispatch rides the tunnel RTT).
+
+    Returns (cache, tokens [B, chunk_len], next_tok [B], next_key);
+    the returned cache carries the ADVANCED ``pos``.
     """
-    paged = "k_pages" in cache
-    if paged:
+    if "k_pages" in cache:
+        kv = {"k_pages": cache["k_pages"], "v_pages": cache["v_pages"]}
         table = cache["table"]
+    else:
+        kv = {"k": cache["k"], "v": cache["v"]}
+        table = None
+    kv, toks, tok, key, pos_out = _decode_chunk_jit(
+        llm_params, kv, table, tok, pos, active, temperature, top_k, top_p,
+        key, llm_cfg=llm_cfg, chunk_len=chunk_len,
+        sampling_mode=sampling_mode, mesh=mesh,
+    )
+    new_cache = dict(cache)
+    new_cache.update(kv)
+    new_cache["pos"] = pos_out
+    return new_cache, toks, tok, key
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("llm_cfg", "chunk_len", "sampling_mode", "mesh"),
+    donate_argnames=("kv",),
+)
+def _decode_chunk_jit(
+    llm_params, kv, table, tok, pos, active, temperature, top_k, top_p, key,
+    *, llm_cfg, chunk_len, sampling_mode, mesh,
+):
+    paged = "k_pages" in kv
+    if paged:
 
         def body(carry, _):
             kv, tok, pos, key = carry
@@ -143,15 +169,12 @@ def decode_chunk(
                 nxt, pos + 1, key,
             ), tok
 
-        carry0 = ({"k_pages": cache["k_pages"], "v_pages": cache["v_pages"]},
+        carry0 = ({"k_pages": kv["k_pages"], "v_pages": kv["v_pages"]},
                   tok, pos, key)
         (kv, tok, pos, key), toks = jax.lax.scan(body, carry0, None, length=chunk_len)
-        new_cache = dict(cache)
-        new_cache.update({"k_pages": kv["k_pages"], "v_pages": kv["v_pages"],
-                          "pos": pos})
-        return new_cache, toks.T, tok, key
+        return kv, toks.T, tok, key, pos
 
-    max_len = cache["k"].shape[2]
+    max_len = kv["k"].shape[2]
 
     def body(carry, _):
         kv, tok, pos, key = carry
@@ -168,11 +191,9 @@ def decode_chunk(
         return ({"k": nc["k"], "v": nc["v"]}, nxt, pos + 1, key), tok
 
     (kv, tok, pos, key), toks = jax.lax.scan(
-        body, ({"k": cache["k"], "v": cache["v"]}, tok, pos, key), None,
+        body, ({"k": kv["k"], "v": kv["v"]}, tok, pos, key), None,
         length=chunk_len,
     )
-    # return the ADVANCED positions (like the paged branch): a caller
-    # feeding the returned cache into the next chunk must not re-decode at
-    # the original rows
-    new_cache = {"k": kv["k"], "v": kv["v"], "pos": pos}
-    return new_cache, toks.T, tok, key
+    # return the ADVANCED positions: a caller feeding the returned cache
+    # into the next chunk must not re-decode at the original rows
+    return kv, toks.T, tok, key, pos

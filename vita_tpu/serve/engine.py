@@ -335,6 +335,14 @@ class Engine:
         self._tok_dev = jnp.zeros((n_slots,), jnp.int32)
         self._key = jax.random.PRNGKey(seed)
 
+        # device-resident decode operands, reused while the active set is
+        # unchanged: each tick otherwise uploads table/pos/temps/topk/topp
+        # (5 small H2D transfers whose dispatch rides the ~30 ms tunnel
+        # RTT). Keyed on a mutation epoch + the exact padded slot layout;
+        # pos advances on-device in lockstep with the host cursor.
+        self._dev_state: Optional[tuple] = None
+        self._state_epoch = 0
+
         self.queue: "queue.Queue[Request]" = queue.Queue()
         self._pending: collections.deque = collections.deque()
         # bounded in-flight prefill jobs: >1 lets a second prompt start
@@ -671,6 +679,7 @@ class Engine:
         self._temps[slot] = req.temperature
         self._topk[slot] = req.top_k
         self._topp[slot] = req.top_p
+        self._state_epoch += 1  # invalidate cached device decode operands
         self._tok_dev = self._tok_dev.at[slot].set(job.tok[0])
         setattr(req, "_pages", job.pages)
         # early first-token emission (device sync; the value is already
@@ -704,19 +713,37 @@ class Engine:
                 self._temps[idx[active]], self._topk[idx[active]],
                 self._topp[idx[active]],
             )
+            key = (self._state_epoch, idx.tobytes())
+            if self._dev_state is not None and self._dev_state[0] == key:
+                (_, idx_d, table_d, pos_d, active_d, temps_d, topk_d,
+                 topp_d) = self._dev_state
+            else:
+                idx_d = jnp.asarray(idx)
+                table_d = jnp.asarray(self._table_np[idx])
+                pos_d = jnp.asarray(self.pos[idx])
+                active_d = jnp.asarray(active)
+                temps_d = jnp.asarray(self._temps[idx])
+                topk_d = jnp.asarray(self._topk[idx])
+                topp_d = jnp.asarray(self._topp[idx])
             cache = {
                 "k_pages": self.cache["k_pages"],
                 "v_pages": self.cache["v_pages"],
-                "table": jnp.asarray(self._table_np[idx]),
-                "pos": jnp.asarray(self.pos[idx]),
+                "table": table_d,
+                "pos": pos_d,
             }
             new_cache, toks, tok_out, self._key = decode_chunk(
-                self._decode_llm, cache, self._tok_dev[jnp.asarray(idx)],
-                jnp.asarray(self.pos[idx]), jnp.asarray(active),
-                jnp.asarray(self._temps[idx]), jnp.asarray(self._topk[idx]),
-                jnp.asarray(self._topp[idx]), self._key,
+                self._decode_llm, cache, self._tok_dev[idx_d],
+                pos_d, active_d, temps_d, topk_d, topp_d, self._key,
                 llm_cfg=self._decode_cfg, chunk_len=self.decode_chunk_len,
                 sampling_mode=mode, mesh=self.mesh,
+            )
+            # the device cursor advances in lockstep with self.pos below
+            # (padding rows duplicate a live slot and stay consistent:
+            # every occurrence sees the same per-slot value); decode_chunk
+            # donates only the page arrays, so these operands survive
+            self._dev_state = (
+                key, idx_d, table_d, new_cache["pos"],
+                active_d, temps_d, topk_d, topp_d,
             )
             self.cache["k_pages"] = new_cache["k_pages"]
             self.cache["v_pages"] = new_cache["v_pages"]
@@ -783,6 +810,7 @@ class Engine:
         self.slot_req[slot] = None
         self.pos[slot] = 0
         self._skip[slot] = 0
+        self._state_epoch += 1  # invalidate cached device decode operands
         pages = getattr(req, "_pages", None)
         if pages:
             if (
