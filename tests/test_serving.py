@@ -690,3 +690,31 @@ def test_engine_soak_page_conservation(tiny):
     # compiled prefill signatures stays tiny
     from vita_tpu.serve.engine import _prefill_chunk_fn
     assert _prefill_chunk_fn._cache_size() < 40
+
+
+def test_decode_tick_reuses_device_operands(tiny):
+    """Steady-state decode must NOT re-upload table/pos/temps per tick:
+    the cached device operands are reused while the active set is
+    unchanged, and invalidated when a slot frees (epoch bump)."""
+    cfg, params = tiny
+    eng = Engine(params, cfg, n_slots=2, max_len=64)
+    req = Request(input_ids=np.arange(2, 10, dtype=np.int32),
+                  max_new_tokens=30, eos_id=-1)
+    eng.submit(req)
+    # run until the request is decoding and a tick has cached device state
+    for _ in range(50):
+        eng.step()
+        if eng._dev_state is not None and eng.active_count() == 1:
+            break
+    assert eng._dev_state is not None
+    key0, table0 = eng._dev_state[0], eng._dev_state[2]
+    eng.step()
+    assert eng.slot_req[0] is req or eng.active_count() == 1
+    # same epoch and layout: table buffer reused by object identity
+    assert eng._dev_state[0] == key0
+    assert eng._dev_state[2] is table0
+    epoch0 = eng._state_epoch
+    eng.run_until_idle()
+    assert req.tokens and len(req.tokens) == 30
+    # freeing the slot must have bumped the epoch (stale-state guard)
+    assert eng._state_epoch > epoch0
