@@ -92,6 +92,13 @@ def main(argv: Optional[List[str]] = None) -> int:
                         "(default: a temp dir under --simulate, else off)")
     p.add_argument("--no-tts", action="store_true",
                    help="print sentence flushes only; skip synthesis/pacing")
+    p.add_argument("--mesh", type=int, nargs=2, metavar=("EXPERT", "MODEL"),
+                   default=None,
+                   help="per-replica TP/EP mesh (expert model): each of the "
+                        "two engines gets its own DISJOINT device slice, "
+                        "e.g. --mesh 2 2 on a v5e-8 = two 4-chip replicas "
+                        "(the reference's 2x 'TP=2 engine' H20 deployment, "
+                        "web_interactive_demo.py:945,959,982)")
     p.add_argument("--tts-pace", type=float, default=1.5,
                    help="sleep factor x clip duration per played chunk "
                         "(reference text_streamer sleeps 1.5x)")
@@ -121,7 +128,24 @@ def main(argv: Optional[List[str]] = None) -> int:
         bos_id, eos_id = hf_tok.bos_token_id, hf_tok.eos_token_id
 
     # two replicas — deployed as disjoint slice halves; here two engines
-    engines = [Engine(params, cfg, n_slots=2, max_len=args.max_len, seed=i)
+    meshes = [None, None]
+    if args.mesh is not None:
+        from vita_tpu.parallel.mesh import make_mesh
+
+        expert, model = args.mesh
+        per = expert * model
+        if len(jax.devices()) < 2 * per:
+            raise SystemExit(
+                f"--mesh {expert} {model} needs {2 * per} devices for two "
+                f"replicas, have {len(jax.devices())}"
+            )
+        meshes = [
+            make_mesh(shape=(1, 1, expert, model),
+                      devices=jax.devices()[i * per:(i + 1) * per])
+            for i in range(2)
+        ]
+    engines = [Engine(params, cfg, n_slots=2, max_len=args.max_len, seed=i,
+                      mesh=meshes[i])
                for i in range(2)]
 
     # multi-turn context: each utterance carries the session's past audio

@@ -353,6 +353,12 @@ def main(argv=None) -> int:
                    help="multi-turn handling for session_id requests: replay "
                         "re-sends history media; interactive drops history "
                         "vision and fronts image tokens")
+    p.add_argument("--mesh", type=int, nargs=2, metavar=("EXPERT", "MODEL"),
+                   default=None,
+                   help="TP/EP serving mesh (expert model), e.g. --mesh 4 2 "
+                        "on a v5e-8: shards params + the paged KV pool so "
+                        "the full 8x7B fits (the reference serves with vLLM "
+                        "tensor_parallel_size=2)")
     args = p.parse_args(argv)
 
     import jax
@@ -378,7 +384,15 @@ def main(argv=None) -> int:
         decode = lambda ids: hf_tok.decode(ids, skip_special_tokens=False)
         bos_id, eos_id = hf_tok.bos_token_id, hf_tok.eos_token_id
 
-    engine = Engine(params, cfg, n_slots=args.slots, max_len=args.max_len)
+    mesh = None
+    if args.mesh is not None:
+        from vita_tpu.parallel.mesh import make_mesh
+
+        expert, model = args.mesh
+        mesh = make_mesh(shape=(1, 1, expert, model),
+                         devices=jax.devices()[: expert * model])
+    engine = Engine(params, cfg, n_slots=args.slots, max_len=args.max_len,
+                    mesh=mesh)
     app = ServingApp(engine, cfg, encode, decode, bos_id, eos_id,
                      image_size=cfg.vision.image_size,
                      history_mode=args.history_mode)
