@@ -755,8 +755,8 @@ class Engine:
             except AttributeError:
                 pass
             na = len(active_idx)
-            live = jnp.asarray(idx[:na])
-            self._tok_dev = self._tok_dev.at[live].set(tok_out[:na])
+            # idx_d[:na] slices the cached device array — no fresh upload
+            self._tok_dev = self._tok_dev.at[idx_d[:na]].set(tok_out[:na])
             # speculative: the device advanced these slots chunk_len rows
             self.pos[idx[:na]] += self.decode_chunk_len
             self._inflight.append(
