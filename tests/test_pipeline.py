@@ -348,3 +348,38 @@ def test_pp_decode_gather_mode_matches_sequential():
         lambda p, c, f: mixtral.pp_decode_greedy(p, cfg, mesh, c, f, N_NEW)
     )(params, pp_cache, jnp.stack(first).astype(jnp.int32))
     np.testing.assert_array_equal(np.asarray(toks), ref_tokens)
+
+
+def test_pp_generate_end_to_end_matches_sequential():
+    """pp_generate = GPipe prefill (materializing the layer-sharded KV
+    cache in-ring) + S-wave ring decode: greedy tokens must equal the
+    unpipelined prefill + single-step decode loop, wave for wave."""
+    cfg = _cfg()
+    params = mixtral.init_params(jax.random.PRNGKey(0), cfg)
+    S, B, T0, MAXLEN, N_NEW = 2, 2, 6, 16, 5
+    cfg_pp = dataclasses.replace(cfg, pipe_stages=S)
+    mesh = _pipe_mesh(pipe=S)
+
+    rng = np.random.default_rng(7)
+    prompts = rng.integers(1, cfg.vocab_size, (S, B, T0)).astype(np.int32)
+
+    ref_tokens = np.zeros((S, N_NEW + 1, B), np.int32)
+    for w in range(S):
+        cache = mixtral.init_kv_cache(cfg, batch=B, max_len=MAXLEN)
+        logits, cache, _ = mixtral.forward(
+            params, cfg, input_ids=jnp.asarray(prompts[w]), cache=cache
+        )
+        tok = jnp.argmax(logits[:, T0 - 1].astype(jnp.float32), -1)
+        ref_tokens[w, 0] = np.asarray(tok)
+        for i in range(N_NEW):
+            logits, cache, _ = mixtral.forward(
+                params, cfg, input_ids=tok[:, None].astype(jnp.int32),
+                cache=cache,
+            )
+            tok = jnp.argmax(logits[:, -1].astype(jnp.float32), -1)
+            ref_tokens[w, i + 1] = np.asarray(tok)
+
+    got = jax.jit(
+        lambda p, pr: mixtral.pp_generate(p, cfg_pp, mesh, pr, N_NEW, MAXLEN)
+    )(params, jnp.asarray(prompts))
+    np.testing.assert_array_equal(np.asarray(got), ref_tokens)

@@ -653,6 +653,76 @@ def pp_kv_cache_specs() -> Params:
     return {"k": P("pipe"), "v": P("pipe"), "pos": P()}
 
 
+def pp_prefill(
+    params: Params,
+    cfg: MixtralConfig,
+    mesh,
+    prompts: jnp.ndarray,  # [W, B, T0] int32 (W == pipe stages)
+    max_len: int,
+) -> Tuple[Params, jnp.ndarray]:
+    """Pipeline-parallel prefill: runs the prompt through the GPipe ring
+    while materializing the wave-major layer-sharded KV cache that
+    pp_decode_greedy consumes (parallel/pipeline.py::pipeline_prefill_kv).
+    Together they serve a model whose weights exceed one chip's HBM
+    end-to-end — the capability the reference's vLLM PP plumbing aimed at
+    (vllm_file/mixtral.py:592-628) but never shipped.
+
+    Returns (cache {'k','v','pos'}, first_tokens [W, B] greedy)."""
+    from vita_tpu.parallel.pipeline import pipeline_prefill_kv
+
+    w, b, t0 = prompts.shape
+    d = cfg.d_model
+    x = jnp.take(params["embed"], prompts, axis=0).astype(cfg.dtype)
+    positions = jnp.broadcast_to(jnp.arange(t0)[None, None], (w, b, t0))
+    kv_valid = jnp.broadcast_to(
+        (jnp.arange(max_len) < t0)[None, None], (w, b, max_len)
+    )
+    kv_template = jnp.zeros(
+        (b, max_len, cfg.n_kv_heads, cfg.head_dim), cfg.dtype
+    )
+
+    def body(lp, xx, cw, kv_zeros):
+        pos_w, valid_w = cw
+        bb, ss, _ = xx.shape
+        h = rms_norm(xx, lp["ln_attn"], cfg.rms_eps)
+        attn_out, nk, nv = _attention_block(
+            lp["attn"], cfg, h, pos_w, valid_w, kv_zeros, kv_zeros,
+            jnp.zeros((bb,), jnp.int32),
+        )
+        xx = xx + attn_out
+        h = rms_norm(xx, lp["ln_moe"], cfg.rms_eps)
+        moe_out, _ = moe_ffn(
+            lp["moe"], h.reshape(bb * ss, d), cfg.top_k, mode="dense"
+        )
+        return xx + moe_out.reshape(bb, ss, d), nk, nv
+
+    x_out, ck, cv = pipeline_prefill_kv(
+        mesh, body, params["layers"], x, (positions, kv_valid),
+        kv_template, cfg.pipe_stages,
+    )
+    h = rms_norm(x_out[:, :, -1], params["ln_final"], cfg.rms_eps)
+    logits = (h @ params["lm_head"]).astype(jnp.float32)
+    first = jnp.argmax(logits, -1).astype(jnp.int32)
+    cache = {"k": ck, "v": cv, "pos": jnp.full((w, b), t0, jnp.int32)}
+    return cache, first
+
+
+def pp_generate(
+    params: Params,
+    cfg: MixtralConfig,
+    mesh,
+    prompts: jnp.ndarray,  # [W, B, T0] int32
+    n_tokens: int,
+    max_len: int,
+) -> jnp.ndarray:
+    """End-to-end pipeline-parallel greedy generation: GPipe prefill into
+    the layer-sharded cache, then the S-wave ring decode. Returns tokens
+    [W, n_tokens + 1, B] (the prefill's first sample + n_tokens more)."""
+    cache, first = pp_prefill(params, cfg, mesh, prompts, max_len)
+    toks, _ = pp_decode_greedy(params, cfg, mesh, cache, first, n_tokens)
+    return jnp.concatenate([first[:, None], toks], axis=1)
+
+
 def pp_decode_greedy(
     params: Params,
     cfg: MixtralConfig,

@@ -164,6 +164,112 @@ def pipeline_layer_stack(
     return x_out, aux_total / m
 
 
+def pipeline_prefill_kv(
+    mesh: Mesh,
+    layer_body: Callable,  # (lp, x [B,T,D], consts_w, kv_zeros) -> (x, k, v)
+    stacked_params: Any,  # [L, ...] leaf pytree (pipe-sharded on dim 0)
+    x: jnp.ndarray,  # [W, B, T, D] wave-major prompt embeddings
+    consts: Any,  # pytree of [W, B, ...] per-wave arrays
+    kv_template: jnp.ndarray,  # [B, T_max, H_kv, Dh] zeros (write target)
+    n_stages: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """GPipe prefill that also MATERIALIZES the per-layer KV cache in the
+    wave-major, layer-sharded layout `pipeline_decode_greedy` consumes:
+    stage s keeps [L/S, W, B, T_max, H, Dh] rows for its own layers only,
+    filled as each wave (= microbatch) passes through. This is what makes
+    pipeline-parallel serving end-to-end: prefill AND decode of a model
+    whose weights exceed one chip's HBM, without ever gathering the cache.
+
+    ``layer_body(lp, x, consts_w, kv_zeros)`` applies ONE layer to one
+    wave and returns (x_out, k_cache_slice, v_cache_slice) — the cache
+    slices are the kv_zeros template with the prompt rows written (the
+    attention block's normal cache-write path at cache_pos=0).
+
+    Returns (x_out [W, B, T, D], cache_k, cache_v [L, W, B, T_max, H, Dh]).
+    """
+    if PIPE not in mesh.shape:
+        raise ValueError(f"mesh has no '{PIPE}' axis: {dict(mesh.shape)}")
+    if mesh.shape[PIPE] != n_stages:
+        raise ValueError(
+            f"pipe axis size {mesh.shape[PIPE]} != n_stages {n_stages}"
+        )
+    n_layers = jax.tree.leaves(stacked_params)[0].shape[0]
+    if n_layers % n_stages:
+        raise ValueError(
+            f"layer count {n_layers} not divisible by pipe stages {n_stages}"
+        )
+    w_waves = x.shape[0]
+    pad = jnp.zeros((n_stages - 1,) + x.shape[1:], x.dtype)
+    xs_feed = jnp.concatenate([x, pad], axis=0)  # stage 0 eats wave t at t
+
+    def stage_fn(lp_local, xs_feed, consts, kv_template):
+        stage = jax.lax.axis_index(PIPE)
+        nstg = jax.lax.axis_size(PIPE)
+        vary = lambda a: jax.lax.pcast(a, (PIPE,), to="varying")
+        l_local = jax.tree.leaves(lp_local)[0].shape[0]
+
+        def run_stage(x0, cw):
+            def f(xx, lp):
+                xx, k, v = layer_body(lp, xx, cw, kv_template)
+                return xx, (k, v)
+
+            return jax.lax.scan(f, x0, lp_local)  # (y, (k [L/S,...], v))
+
+        def step(carry, x_in):
+            t, state, ck, cv, outputs = carry
+            j = t - stage
+            valid = (j >= 0) & (j < w_waves)
+            jc = jnp.clip(j, 0, w_waves - 1)
+            cw = jax.tree.map(
+                lambda c: jax.lax.dynamic_index_in_dim(c, jc, keepdims=False),
+                consts,
+            )
+            x0 = jnp.where(stage == 0, x_in, state)
+            y, (k, v) = run_stage(x0, cw)
+            # merge-write wave jc: invalid steps must not clobber a wave's
+            # real rows (the post-window clamp lands on wave W-1)
+            old_k = jax.lax.dynamic_index_in_dim(ck, jc, axis=1, keepdims=False)
+            old_v = jax.lax.dynamic_index_in_dim(cv, jc, axis=1, keepdims=False)
+            ck = jax.lax.dynamic_update_index_in_dim(
+                ck, jnp.where(valid, k, old_k), jc, axis=1
+            )
+            cv = jax.lax.dynamic_update_index_in_dim(
+                cv, jnp.where(valid, v, old_v), jc, axis=1
+            )
+            out_j = t - (nstg - 1)
+            out_j = jnp.where(out_j < 0, w_waves, out_j)  # drop
+            outputs = outputs.at[out_j].set(y, mode="drop")
+            state = jax.lax.ppermute(
+                y, PIPE, [(i, i + 1) for i in range(nstg - 1)]
+            )
+            return (t + 1, state, ck, cv, outputs), None
+
+        kv_shape = (l_local, w_waves) + kv_template.shape
+        init = (
+            jnp.int32(0),
+            vary(jnp.zeros(x.shape[1:], x.dtype)),
+            vary(jnp.zeros(kv_shape, kv_template.dtype)),
+            vary(jnp.zeros(kv_shape, kv_template.dtype)),
+            vary(jnp.zeros((w_waves,) + x.shape[1:], x.dtype)),
+        )
+        (t, state, ck, cv, outputs), _ = jax.lax.scan(step, init, xs_feed)
+        # the finished activations live on the last stage; psum-mask makes
+        # them replicated (out_specs P())
+        x_out = jax.lax.psum(
+            jnp.where(stage == nstg - 1, outputs, jnp.zeros_like(outputs)),
+            PIPE,
+        )
+        return x_out, ck, cv
+
+    return jax.shard_map(
+        stage_fn,
+        mesh=mesh,
+        in_specs=(P(PIPE), P(), P(), P()),
+        out_specs=(P(), P(PIPE), P(PIPE)),
+        axis_names={PIPE},
+    )(stacked_params, xs_feed, consts, kv_template)
+
+
 def pipeline_decode_greedy(
     mesh: Mesh,
     stage_fn: Callable,  # (lp_local, ck_w, cv_w, x, positions, kv_valid, cache_pos) -> (y, nk, nv)
