@@ -355,7 +355,21 @@ def pipeline_decode_greedy(
             ck = jax.lax.dynamic_update_index_in_dim(ck, nk, wave, axis=1)
             cv = jax.lax.dynamic_update_index_in_dim(cv, nv, wave, axis=1)
 
-            tok, emb = finish_fn(head, y)
+            # only the LAST stage pays the lm_head read: inside shard_map
+            # the predicate is a per-device scalar, so lax.cond skips the
+            # branch at runtime on the other S-1 stages (an unconditional
+            # finish would add a full head read per STAGE-step — ~12%
+            # extra HBM traffic at S=8 full width)
+            def _finish(yy):
+                return finish_fn(head, yy)
+
+            def _skip(yy):
+                return (
+                    vary(jnp.zeros(yy.shape[:1], jnp.int32)),
+                    jnp.zeros_like(yy),
+                )
+
+            tok, emb = jax.lax.cond(stage == nstg - 1, _finish, _skip, y)
             # the LAST stage finishes wave (t-(S-1)) mod S token (t-(S-1))//S
             jf = jnp.maximum(t - (nstg - 1), 0)
             w_f, i_f = jf % nstg, jf // nstg
