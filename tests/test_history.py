@@ -273,3 +273,118 @@ def test_serving_app_video_request(tiny, tmp_path):
                                "image_b64": png_b64})
     finally:
         app.thread.stop()
+
+
+def test_openai_chat_completions_request(tiny):
+    """OpenAI-compatible adapter: multi-turn messages render through the
+    mixtral_two template, data-URL image parts route into the vision
+    pipeline, and the request runs end-to-end."""
+    import base64
+    import io
+    import time
+
+    from PIL import Image
+
+    from vita_tpu.serve.engine import Engine
+    from vita_tpu.serve.http_server import ServingApp
+
+    cfg, params = tiny
+    eng = Engine(params, cfg, n_slots=1, max_len=2048, decode_chunk_len=2)
+    enc = lambda s: [1] + [3 + b for b in s.encode()]
+    dec = lambda ids: bytes(t - 3 for t in ids if 3 <= t < 259).decode(errors="ignore")
+    app = ServingApp(eng, cfg, enc, dec, bos_id=1, eos_id=2,
+                     image_size=cfg.vision.image_size)
+
+    buf = io.BytesIO()
+    Image.fromarray(np.full((32, 32, 3), 90, np.uint8)).save(buf, "PNG")
+    data_url = "data:image/png;base64," + base64.b64encode(buf.getvalue()).decode()
+
+    req = app.build_openai_request({
+        "messages": [
+            {"role": "user", "content": "hello"},
+            {"role": "assistant", "content": "hi there"},
+            {"role": "user", "content": [
+                {"type": "text", "text": "what is in this picture?"},
+                {"type": "image_url", "image_url": {"url": data_url}},
+            ]},
+        ],
+        "max_tokens": 6,
+    })
+    assert req.images is not None
+    assert int(np.sum(req.image_mask)) == cfg.vision.out_tokens
+    text = dec([int(t) for t in req.input_ids])
+    assert "hi there" in text and "what is in this picture?" in text
+    assert req.max_new_tokens == 6
+
+    done = []
+    req.on_finish = lambda toks, reason: done.append(reason)
+    eng.submit(req)
+    for _ in range(600):
+        if done:
+            break
+        time.sleep(0.1)
+    assert done and len(req.tokens) == 6
+
+    # malformed: media in a non-final message rejected
+    with pytest.raises(ValueError, match="final user message"):
+        app.build_openai_request({
+            "messages": [
+                {"role": "user", "content": [
+                    {"type": "image_url", "image_url": {"url": data_url}}]},
+                {"role": "assistant", "content": "x"},
+                {"role": "user", "content": "y"},
+            ]})
+    # must end with a user message
+    with pytest.raises(ValueError, match="end with a user"):
+        app.build_openai_request({"messages": [
+            {"role": "assistant", "content": "x"}]})
+    app.thread.stop()
+
+
+def test_openai_chat_completions_http_stream(tiny):
+    """Full HTTP round-trip of /v1/chat/completions: non-stream JSON shape
+    and stream=true SSE chunks ending in [DONE]."""
+    import json as _json
+    import threading
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    from vita_tpu.serve.engine import Engine
+    from vita_tpu.serve.http_server import ServingApp, make_handler
+
+    cfg, params = tiny
+    eng = Engine(params, cfg, n_slots=1, max_len=2048, decode_chunk_len=2)
+    enc = lambda s: [1] + [3 + b for b in s.encode()]
+    dec = lambda ids: bytes(t - 3 for t in ids if 3 <= t < 259).decode(errors="ignore")
+    app = ServingApp(eng, cfg, enc, dec, bos_id=1, eos_id=2,
+                     image_size=cfg.vision.image_size)
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(app))
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+
+    def post(body):
+        return urllib.request.urlopen(urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/chat/completions",
+            data=_json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"}), timeout=300)
+
+    r = post({"messages": [{"role": "user", "content": "hi"}],
+              "max_tokens": 4})
+    out = _json.loads(r.read())
+    assert out["object"] == "chat.completion"
+    assert out["choices"][0]["finish_reason"] == "length"
+    assert out["usage"]["completion_tokens"] == 4
+
+    r = post({"messages": [{"role": "user", "content": "hi"}],
+              "max_tokens": 4, "stream": True})
+    assert r.headers.get("Content-Type") == "text/event-stream"
+    events = [l for l in r.read().decode().split("\n\n") if l.startswith("data: ")]
+    assert events[-1] == "data: [DONE]"
+    first = _json.loads(events[0][6:])
+    assert first["object"] == "chat.completion.chunk"
+    assert first["choices"][0]["delta"].get("role") == "assistant"
+    last = _json.loads(events[-2][6:])
+    assert last["choices"][0]["finish_reason"] == "length"
+
+    srv.shutdown()
+    app.thread.stop()

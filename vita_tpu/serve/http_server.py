@@ -12,6 +12,13 @@ dependencies: a stdlib ThreadingHTTPServer exposing
                        "session_id"?: str, "max_tokens"?: int,
                        "temperature"?: float}
                       -> chunked text/plain token stream
+  POST /v1/chat/completions — OpenAI-compatible (beyond the reference):
+                      `messages` with string content or content-part lists
+                      (text / image_url / video_url data: URLs /
+                      input_audio 16-bit wav); `stream: true` -> SSE
+                      chat.completion.chunk events, else one
+                      chat.completion JSON with usage counts. Media in the
+                      final user message; earlier turns render as history.
 
 ``video_b64`` carries a whole video file (any OpenCV-decodable container);
 frames are sampled server-side exactly like the CLI/video pipeline
@@ -35,6 +42,7 @@ import io
 import json
 import queue
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -92,14 +100,10 @@ class ServingApp:
         self.thread = EngineThread(engine)
         self.thread.start()
 
-    def build_request(self, payload: dict):
-        """Returns (Request, record_turn(response_text) or None)."""
-        from vita_tpu.conversation import TEMPLATES, Dialog
-        from vita_tpu.serve.engine import Request
-        from vita_tpu.serve.history import ChatSession, HistoryTurn
-        from vita_tpu.tokenization import expand_media_sentinels, tokenize_multimodal
-
-        prompt_text = payload.get("prompt", "")
+    def _decode_media(self, payload: dict):
+        """Decode image_b64/video_b64/audio_b64 payload fields into model
+        inputs. Returns (parts, images, img_counts, aud_counts, speech,
+        speech_len, is_video)."""
         images = speech = None
         speech_len = 0
         img_counts, aud_counts = [], []
@@ -164,6 +168,18 @@ class ServingApp:
             speech_len = len(speech)
             aud_counts = [audio_token_count(speech_len)]
             parts.append("<audio>")
+        return parts, images, img_counts, aud_counts, speech, speech_len, is_video
+
+    def build_request(self, payload: dict):
+        """Returns (Request, record_turn(response_text) or None, release)."""
+        from vita_tpu.conversation import TEMPLATES, Dialog
+        from vita_tpu.serve.engine import Request
+        from vita_tpu.serve.history import ChatSession, HistoryTurn
+        from vita_tpu.tokenization import expand_media_sentinels, tokenize_multimodal
+
+        prompt_text = payload.get("prompt", "")
+        (parts, images, img_counts, aud_counts, speech, speech_len,
+         is_video) = self._decode_media(payload)
         if prompt_text and not payload.get("audio_b64"):
             parts.append(prompt_text)
         user_text = "\n".join(parts)
@@ -232,6 +248,98 @@ class ServingApp:
             session_key=session_id,
         ), record, release
 
+    def build_openai_request(self, body: dict):
+        """OpenAI-compatible /v1/chat/completions adapter: `messages` with
+        string content or content-part lists ({'type':'text'},
+        {'type':'image_url','image_url':{'url':'data:...;base64,...'}},
+        {'type':'input_audio','input_audio':{'data': b64-wav}}). Media is
+        accepted in the FINAL user message; earlier turns render as text
+        history through the mixtral_two template. Returns a Request."""
+        from vita_tpu.conversation import TEMPLATES, Dialog
+        from vita_tpu.serve.engine import Request
+        from vita_tpu.tokenization import expand_media_sentinels, tokenize_multimodal
+
+        msgs = body.get("messages") or []
+        if not msgs or msgs[-1].get("role") != "user":
+            raise ValueError("messages must end with a user message")
+
+        def flatten(content, payload, final):
+            texts = []
+            if isinstance(content, str):
+                return content
+            for part in content or []:
+                kind = part.get("type")
+                if kind == "text":
+                    texts.append(part.get("text", ""))
+                elif kind in ("image_url", "video_url", "input_audio"):
+                    if not final:
+                        raise ValueError(
+                            "media is only supported in the final user message"
+                        )
+                    if kind == "input_audio":
+                        import io as _io
+                        import wave
+
+                        raw = base64.b64decode(part["input_audio"]["data"])
+                        with wave.open(_io.BytesIO(raw)) as w:
+                            if w.getsampwidth() != 2:
+                                raise ValueError("input_audio must be 16-bit wav")
+                            pcm = w.readframes(w.getnframes())
+                        payload["audio_b64"] = base64.b64encode(pcm).decode()
+                    else:
+                        url = part[kind]["url"] if isinstance(part.get(kind), dict) \
+                            else part.get(kind, "")
+                        if not url.startswith("data:"):
+                            raise ValueError(
+                                f"{kind} must be a data: URL (no egress)"
+                            )
+                        b64 = url.split(",", 1)[1]
+                        key = "image_b64" if kind == "image_url" else "video_b64"
+                        payload[key] = b64
+                else:
+                    raise ValueError(f"unsupported content part {kind!r}")
+            return "\n".join(t for t in texts if t)
+
+        payload: dict = {}
+        final_text = flatten(msgs[-1].get("content"), payload, final=True)
+        (parts, images, img_counts, aud_counts, speech, speech_len,
+         is_video) = self._decode_media(payload)
+        if final_text and "audio_b64" not in payload:
+            parts.append(final_text)
+        user_text = "\n".join(parts)
+
+        dlg = Dialog(TEMPLATES["mixtral_two"])
+        pending_user = None
+        for m in msgs[:-1]:
+            role = m.get("role")
+            text = flatten(m.get("content"), {}, final=False)
+            if role == "user":
+                pending_user = text
+            elif role == "assistant":
+                dlg = dlg.user(pending_user or "").assistant(text)
+                pending_user = None
+            # system messages: the mixtral_two template carries VITA's own
+            # per-modality system prompts; client system text is ignored
+        if pending_user is not None:
+            user_text = pending_user + "\n" + user_text
+        modality = ("video" if is_video else
+                    "image" if images is not None else "lang")
+        prompt = dlg.user(user_text).assistant().render(modality)
+
+        ids = tokenize_multimodal(prompt, self.encode, bos_id=self.bos_id)
+        expanded = expand_media_sentinels(ids, img_counts, aud_counts)
+        safe, im, am = media_masks(np.array(expanded))
+        return Request(
+            input_ids=safe,
+            image_mask=im if images is not None else None,
+            audio_mask=am if am.any() else None,
+            images=images, speech=speech, speech_length=speech_len,
+            max_new_tokens=int(body.get("max_tokens",
+                                        body.get("max_completion_tokens", 256))),
+            temperature=float(body.get("temperature", 0.0)),
+            eos_id=self.eos_id,
+        )
+
 
 def make_handler(app: ServingApp):
     class Handler(BaseHTTPRequestHandler):
@@ -271,6 +379,9 @@ def make_handler(app: ServingApp):
                 self.send_error(404)
 
         def do_POST(self):
+            if self.path == "/v1/chat/completions":
+                self._chat_completions()
+                return
             if self.path != "/v1/generate":
                 self.send_error(404)
                 return
@@ -337,6 +448,110 @@ def make_handler(app: ServingApp):
             finally:
                 if release is not None:
                     release()
+
+        def _chat_completions(self):
+            """OpenAI-compatible endpoint: non-stream returns one
+            chat.completion object; stream=true sends SSE
+            chat.completion.chunk events (chunked transfer)."""
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(n) or b"{}")
+                req = app.build_openai_request(body)
+                tok_q: "queue.Queue[Optional[int]]" = queue.Queue()
+                done: dict = {}
+                req.on_token = tok_q.put
+                req.on_finish = lambda toks, reason: (
+                    done.update(reason=reason), tok_q.put(None))
+                app.engine.submit(req)
+            except Exception as e:
+                err = json.dumps({"error": {"message": str(e),
+                                            "type": "invalid_request_error"}}).encode()
+                self.send_response(400)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(err)))
+                self.end_headers()
+                self.wfile.write(err)
+                return
+
+            rid = f"chatcmpl-{int(time.time() * 1000):x}"
+            model = body.get("model", "vita-tpu")
+            created = int(time.time())
+            stream = bool(body.get("stream"))
+
+            def clean(ids, final):
+                text = app.decode(ids).replace("</s>", "")
+                for st in ("<1>", "<2>", "<3>"):
+                    text = text.replace(st, "")
+                return text if final else text.rstrip("\ufffd")
+
+            def finish_reason():
+                return "stop" if done.get("reason") == "eos" else "length"
+
+            toks: list = []
+            if not stream:
+                try:
+                    while True:
+                        t = tok_q.get()
+                        if t is None:
+                            break
+                        toks.append(t)
+                except (BrokenPipeError, ConnectionResetError):
+                    req.cancel()
+                    return
+                out = json.dumps({
+                    "id": rid, "object": "chat.completion",
+                    "created": created, "model": model,
+                    "choices": [{"index": 0,
+                                 "message": {"role": "assistant",
+                                             "content": clean(toks, True)},
+                                 "finish_reason": finish_reason()}],
+                    "usage": {"prompt_tokens": len(req.input_ids),
+                              "completion_tokens": len(toks),
+                              "total_tokens": len(req.input_ids) + len(toks)},
+                }).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(out)))
+                self.end_headers()
+                self.wfile.write(out)
+                return
+
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def sse(obj):
+                data = b"data: " + json.dumps(obj).encode() + b"\n\n"
+                self.wfile.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
+
+            def chunk_obj(delta, reason=None):
+                return {"id": rid, "object": "chat.completion.chunk",
+                        "created": created, "model": model,
+                        "choices": [{"index": 0, "delta": delta,
+                                     "finish_reason": reason}]}
+
+            sent = ""
+            try:
+                sse(chunk_obj({"role": "assistant", "content": ""}))
+                while True:
+                    t = tok_q.get()
+                    if t is None:
+                        break
+                    toks.append(t)
+                    text = clean(toks, final=False)
+                    if text.startswith(sent) and len(text) > len(sent):
+                        sse(chunk_obj({"content": text[len(sent):]}))
+                        sent = text
+                final = clean(toks, final=True)
+                if final.startswith(sent) and len(final) > len(sent):
+                    sse(chunk_obj({"content": final[len(sent):]}))
+                sse(chunk_obj({}, reason=finish_reason()))
+                data = b"data: [DONE]\n\n"
+                self.wfile.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
+                self.wfile.write(b"0\r\n\r\n")
+            except (BrokenPipeError, ConnectionResetError):
+                req.cancel()
 
     return Handler
 
