@@ -359,6 +359,15 @@ def make_handler(app: ServingApp):
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+            elif self.path == "/v1/models":
+                body = json.dumps({"object": "list", "data": [
+                    {"id": "vita-tpu", "object": "model",
+                     "owned_by": "vita-tpu"}]}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             elif self.path == "/health":
                 body = json.dumps(
                     {"status": "ok", "active": app.engine.active_count()}
