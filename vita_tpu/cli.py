@@ -90,6 +90,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--decode-moe-mode", default=None,
                    choices=["dense", "capacity", "gather", "gather_q", "gather_q4"],
                    help="MoE path for decode steps (default: inherit model config)")
+    p.add_argument("--mesh", type=int, nargs=2, metavar=("EXPERT", "MODEL"),
+                   default=None,
+                   help="TP/EP mesh for inference (expert model), e.g. "
+                        "--mesh 4 2 on a v5e-8: routes through the sharded "
+                        "Engine so the full 8x7B fits")
     p.add_argument("--prefill-moe-mode", default=None,
                    choices=["dense", "capacity", "sort", "gmm"],
                    help="MoE dispatch for the prefill pass: gmm = grouped "
@@ -179,15 +184,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     expanded = expand_media_sentinels(ids, img_counts, aud_counts)
     safe, im, am = media_masks(np.array(expanded))
 
-    gen = Generator(params, cfg, max_len=args.max_len, chunk_len=args.chunk_len,
-                    decode_moe_mode=args.decode_moe_mode,
-                    prefill_moe_mode=args.prefill_moe_mode)
-    gcfg = GenerationConfig(
-        max_new_tokens=args.max_new_tokens,
-        temperature=0.0 if args.temperature <= 0.01 else args.temperature,
-        eos_id=eos_id,
-    )
-
+    temperature = 0.0 if args.temperature <= 0.01 else args.temperature
     t1 = time.time()
     first_token_t = [None]
 
@@ -195,16 +192,54 @@ def main(argv: Optional[List[str]] = None) -> int:
         if first_token_t[0] is None:
             first_token_t[0] = time.time()
 
-    out = gen.generate(
-        safe,
-        image_mask=im if images is not None else None,
-        audio_mask=am if has_audio else None,
-        images=images,
-        speech=speech,
-        speech_length=speech_len,
-        gen=gcfg,
-        on_token=on_token,
-    )
+    if args.mesh is not None:
+        # sharded path: the serving Engine carries the TP/EP mesh (params +
+        # paged KV pool sharded, per-shard Pallas kernels)
+        import jax as _jax
+
+        from vita_tpu.parallel.mesh import make_mesh
+        from vita_tpu.serve.engine import Engine, Request
+
+        expert, model_ax = args.mesh
+        mesh = make_mesh(shape=(1, 1, expert, model_ax),
+                         devices=_jax.devices()[: expert * model_ax])
+        eng = Engine(params, cfg, n_slots=1, max_len=args.max_len, mesh=mesh,
+                     decode_chunk_len=args.chunk_len,
+                     decode_moe_mode=args.decode_moe_mode,
+                     prefill_moe_mode=args.prefill_moe_mode)
+        t1 = time.time()
+        req = Request(
+            input_ids=safe,
+            image_mask=im if images is not None else None,
+            audio_mask=am if has_audio else None,
+            images=images, speech=speech, speech_length=speech_len,
+            max_new_tokens=args.max_new_tokens, temperature=temperature,
+            eos_id=eos_id, on_token=on_token,
+        )
+        eng.submit(req)
+        eng.run_until_idle()
+        out = req.tokens
+    else:
+        gen = Generator(params, cfg, max_len=args.max_len,
+                        chunk_len=args.chunk_len,
+                        decode_moe_mode=args.decode_moe_mode,
+                        prefill_moe_mode=args.prefill_moe_mode)
+        gcfg = GenerationConfig(
+            max_new_tokens=args.max_new_tokens,
+            temperature=temperature,
+            eos_id=eos_id,
+        )
+        t1 = time.time()
+        out = gen.generate(
+            safe,
+            image_mask=im if images is not None else None,
+            audio_mask=am if has_audio else None,
+            images=images,
+            speech=speech,
+            speech_length=speech_len,
+            gen=gcfg,
+            on_token=on_token,
+        )
     t2 = time.time()
     text = decode(out)
     ttft = (first_token_t[0] or t2) - t1
