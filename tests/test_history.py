@@ -388,3 +388,60 @@ def test_openai_chat_completions_http_stream(tiny):
 
     srv.shutdown()
     app.thread.stop()
+
+
+def test_openai_stop_sequences(tiny):
+    """`stop` truncates at the earliest stop sequence (which is not
+    returned), cancels the request, and reports finish_reason=stop —
+    KeywordsStoppingCriteria's role (vita/util/mm_utils.py:121-155)."""
+    import json as _json
+    import threading
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    from vita_tpu.serve.engine import Engine
+    from vita_tpu.serve.http_server import ServingApp, make_handler
+
+    cfg, params = tiny
+    eng = Engine(params, cfg, n_slots=1, max_len=2048, decode_chunk_len=2)
+    enc = lambda s: [1] + [3 + b for b in s.encode()]
+    # every id maps to a printable char so the random model's greedy
+    # output yields enough text to pick a stop substring from
+    dec = lambda ids: "".join(chr(33 + (t % 90)) for t in ids)
+    app = ServingApp(eng, cfg, enc, dec, bos_id=1, eos_id=2,
+                     image_size=cfg.vision.image_size)
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(app))
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+
+    def post(body):
+        r = urllib.request.urlopen(urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/chat/completions",
+            data=_json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"}), timeout=300)
+        return r
+
+    base = {"messages": [{"role": "user", "content": "hi"}], "max_tokens": 24}
+    full = _json.loads(post(base).read())["choices"][0]["message"]["content"]
+    assert len(full) > 6
+    stop = full[4:7]  # a substring the greedy run deterministically emits
+
+    out = _json.loads(post({**base, "stop": stop}).read())
+    choice = out["choices"][0]
+    assert choice["finish_reason"] == "stop"
+    assert stop not in choice["message"]["content"]
+    assert choice["message"]["content"] == full[:full.find(stop)]
+
+    # streaming: concatenated deltas match the truncated text
+    r = post({**base, "stop": [stop], "stream": True})
+    events = [l for l in r.read().decode().split("\n\n") if l.startswith("data: ")]
+    deltas = "".join(
+        _json.loads(e[6:])["choices"][0]["delta"].get("content", "")
+        for e in events if e != "data: [DONE]"
+    )
+    assert deltas == full[:full.find(stop)]
+    last = [e for e in events if e != "data: [DONE]"][-1]
+    assert _json.loads(last[6:])["choices"][0]["finish_reason"] == "stop"
+
+    srv.shutdown()
+    app.thread.stop()

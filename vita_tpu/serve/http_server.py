@@ -486,6 +486,10 @@ def make_handler(app: ServingApp):
             model = body.get("model", "vita-tpu")
             created = int(time.time())
             stream = bool(body.get("stream"))
+            stops = body.get("stop") or []
+            if isinstance(stops, str):
+                stops = [stops]
+            stopped = []  # truth: a stop sequence ended the generation
 
             def clean(ids, final):
                 text = app.decode(ids).replace("</s>", "")
@@ -493,7 +497,26 @@ def make_handler(app: ServingApp):
                     text = text.replace(st, "")
                 return text if final else text.rstrip("\ufffd")
 
+            def cut_stop(text):
+                """Truncate at the earliest stop sequence (OpenAI semantics:
+                the stop text itself is not returned); cancels the request
+                so the engine frees the slot (KeywordsStoppingCriteria's
+                role, vita/util/mm_utils.py:121-155)."""
+                cut = -1
+                for s in stops:
+                    i = text.find(s)
+                    if i != -1 and (cut == -1 or i < cut):
+                        cut = i
+                if cut == -1:
+                    return text, False
+                if not stopped:
+                    stopped.append(True)
+                    req.cancel()
+                return text[:cut], True
+
             def finish_reason():
+                if stopped:
+                    return "stop"
                 return "stop" if done.get("reason") == "eos" else "length"
 
             toks: list = []
@@ -504,15 +527,18 @@ def make_handler(app: ServingApp):
                         if t is None:
                             break
                         toks.append(t)
+                        if stops and cut_stop(clean(toks, False))[1]:
+                            break
                 except (BrokenPipeError, ConnectionResetError):
                     req.cancel()
                     return
+                content, _ = cut_stop(clean(toks, True))
                 out = json.dumps({
                     "id": rid, "object": "chat.completion",
                     "created": created, "model": model,
                     "choices": [{"index": 0,
                                  "message": {"role": "assistant",
-                                             "content": clean(toks, True)},
+                                             "content": content},
                                  "finish_reason": finish_reason()}],
                     "usage": {"prompt_tokens": len(req.input_ids),
                               "completion_tokens": len(toks),
@@ -548,11 +574,25 @@ def make_handler(app: ServingApp):
                     if t is None:
                         break
                     toks.append(t)
-                    text = clean(toks, final=False)
+                    text, hit = cut_stop(clean(toks, final=False))
+                    if not hit:
+                        # withhold any trailing partial stop-sequence
+                        # prefix: it must never reach the client if the
+                        # next tokens complete the stop
+                        h = 0
+                        for s in stops:
+                            m = min(len(s) - 1, len(text))
+                            for k in range(m, 0, -1):
+                                if text.endswith(s[:k]):
+                                    h = max(h, k)
+                                    break
+                        text = text[: len(text) - h]
                     if text.startswith(sent) and len(text) > len(sent):
                         sse(chunk_obj({"content": text[len(sent):]}))
                         sent = text
-                final = clean(toks, final=True)
+                    if hit:
+                        break
+                final, _ = cut_stop(clean(toks, final=True))
                 if final.startswith(sent) and len(final) > len(sent):
                     sse(chunk_obj({"content": final[len(sent):]}))
                 sse(chunk_obj({}, reason=finish_reason()))
