@@ -337,6 +337,8 @@ class ServingApp:
             max_new_tokens=int(body.get("max_tokens",
                                         body.get("max_completion_tokens", 256))),
             temperature=float(body.get("temperature", 0.0)),
+            top_p=float(body.get("top_p", 1.0)),
+            top_k=int(body.get("top_k", 0)),  # non-OpenAI extension
             eos_id=self.eos_id,
         )
 
