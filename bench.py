@@ -22,6 +22,9 @@ Methodology notes (axon tunnel backend):
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -32,6 +35,107 @@ V5E_HBM_GBPS = 819.0
 N_SMALL, N_LARGE = 8, 64
 PREFILL_LEN = 128
 CACHE_LEN = 512
+# Watchdog for the live (TPU-touching) measurement. Cold compiles through
+# the axon tunnel legitimately take minutes (BENCH_r02: 365 s for the
+# prefill program alone), so this is generous — it only exists so a SICK
+# tunnel (hung compile helper, HTTP 500 storms: observed 2026-08-17/18)
+# cannot turn the driver's bench run into an empty BENCH_rN.json.
+WATCHDOG_S = int(os.environ.get("VITA_BENCH_WATCHDOG_S", "1800"))
+
+
+def _load_recorded() -> dict:
+    """Merge bench_results/*.json (written by the on-chip tools) into
+    'recorded_*'-prefixed extras. Pure host work — no jax import."""
+    recorded = {}
+    rdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_results")
+    for fname, prefix in (("whale_rtf.json", "recorded_audio_"),
+                          ("profile_decode.json", "recorded_profile_"),
+                          ("train_moe.json", "recorded_train_"),
+                          ("engine_batch.json", "recorded_batch_")):
+        path = os.path.join(rdir, fname)
+        if os.path.exists(path):
+            try:
+                with open(path) as f:
+                    for k, v in json.load(f).items():
+                        if isinstance(v, (int, float)):
+                            recorded[prefix + k] = v
+            except (OSError, ValueError):
+                pass
+    return recorded
+
+
+def _degraded_output(recorded: dict, err: str) -> dict:
+    """One honest JSON line when the live TPU measurement is impossible
+    (tunnel outage — observed 2026-08-17/18: compile-helper HTTP 500s and
+    multi-minute hangs). The headline is recomputed from the most recent
+    RECORDED on-chip fused decode step (tools/profile_decode.py,
+    paged_gather_ms: the same paged-attention + Pallas-gather step the
+    live path times), with `degraded: true` so the reader knows no fresh
+    device run backs this line. Geometry constants mirror
+    MixtralConfig's production shape (4096d, 32q/8kv x 128, ffn 14336,
+    8 experts top-2, vocab 51760) without importing jax."""
+    d_model, ffn, vocab, n_exp, top_k = 4096, 14336, 51760, 8, 2
+    kv_dim = 8 * 128
+    per_layer_dense = (2 * d_model * d_model + 2 * d_model * kv_dim
+                       + d_model * n_exp) * 2
+    per_layer_experts = 3 * d_model * ffn * n_exp * 2
+    head_bytes = vocab * d_model * 2
+    layer_active = per_layer_dense + per_layer_experts * top_k / n_exp
+    active_bytes = N_LAYERS_BENCH * layer_active + head_bytes
+    out = {
+        "metric": "mixtral_decode_hbm_bandwidth_utilization",
+        "value": 0.0,
+        "unit": "fraction_of_v5e_roofline",
+        "vs_baseline": 0.0,
+        "degraded": True,
+        "degraded_reason": err[:300],
+    }
+    per_step_ms = recorded.get("recorded_profile_paged_gather_ms")
+    if per_step_ms:
+        per_step = per_step_ms / 1000.0
+        achieved_gbps = active_bytes / per_step / 1e9
+        full_step = per_step * (layer_active * N_LAYERS_FULL
+                                + head_bytes) / active_bytes
+        out.update(
+            value=round(achieved_gbps / V5E_HBM_GBPS, 4),
+            vs_baseline=round(achieved_gbps / V5E_HBM_GBPS, 4),
+            achieved_gb_per_s=round(achieved_gbps, 1),
+            decode_step_ms_2L_fullwidth=per_step_ms,
+            tokens_per_s_32L_1chip_extrapolated=round(1.0 / full_step, 2),
+        )
+    out.update(recorded)
+    out.update(active_gb_per_step=round(active_bytes / 1e9, 2),
+               moe_mode="gather", backend="recorded")
+    return out
+
+
+def _supervised() -> None:
+    """Default entrypoint: run the live measurement in a child process
+    under a watchdog so a sick TPU tunnel (hung remote compile) cannot
+    leave the driver with no JSON line at all."""
+    recorded = _load_recorded()
+    argv = [sys.executable, os.path.abspath(__file__), "--live"]
+    try:
+        p = subprocess.run(argv, capture_output=True, text=True,
+                           timeout=WATCHDOG_S)
+        if p.stderr:
+            sys.stderr.write(p.stderr[-2000:])
+        obj = None
+        for ln in reversed(p.stdout.splitlines()):
+            try:
+                obj = json.loads(ln)
+                break
+            except ValueError:
+                continue
+        if p.returncode == 0 and isinstance(obj, dict):
+            print(json.dumps(obj))
+            return
+        tail = (p.stderr or p.stdout or "").strip().replace("\n", " ")
+        err = f"live bench rc={p.returncode}: {tail[-240:]}"
+    except subprocess.TimeoutExpired:
+        err = (f"live bench exceeded {WATCHDOG_S}s watchdog "
+               "(TPU tunnel degraded?)")
+    print(json.dumps(_degraded_output(recorded, err)))
 
 
 def main() -> None:
@@ -226,23 +330,7 @@ def main() -> None:
     # tools/profile_decode.py write bench_results/*.json): merged as
     # extras so the driver-visible JSON carries them without paying
     # their compile time here. Honest labeling: keys say 'recorded'.
-    recorded = {}
-    import os
-
-    rdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_results")
-    for fname, prefix in (("whale_rtf.json", "recorded_audio_"),
-                          ("profile_decode.json", "recorded_profile_"),
-                          ("train_moe.json", "recorded_train_"),
-                          ("engine_batch.json", "recorded_batch_")):
-        path = os.path.join(rdir, fname)
-        if os.path.exists(path):
-            try:
-                with open(path) as f:
-                    for k, v in json.load(f).items():
-                        if isinstance(v, (int, float)):
-                            recorded[prefix + k] = v
-            except (OSError, ValueError):
-                pass
+    recorded = _load_recorded()
 
     # active bytes per step: top-2 of 8 experts + all non-expert weights
     expert_bytes = sum(
@@ -291,4 +379,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--live" in sys.argv:
+        main()
+    else:
+        _supervised()
