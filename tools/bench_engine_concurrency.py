@@ -8,11 +8,18 @@ JSON line with idle vs during-prefill inter-token p50 and the page-pool
 accounting.
 """
 
+import argparse
 import json
+import os
 import time
 
 
 def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--save", action="store_true",
+                   help="write bench_results/engine_concurrency.json (merged "
+                        "into bench.py extras as recorded_conc_*)")
+    flags = p.parse_args()
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -108,6 +115,14 @@ def main() -> None:
         },
     }
     print(json.dumps(out))
+    if flags.save:
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "bench_results",
+            "engine_concurrency.json")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(out, f)
+        print("wrote", path)
 
 
 if __name__ == "__main__":
