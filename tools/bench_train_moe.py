@@ -98,7 +98,11 @@ def main() -> None:
         **results,
     }
     print(json.dumps(out))
-    if args.save:
+    measured = any(k.endswith("_moe_tflops") for k in results)
+    if args.save and not measured:
+        print("not saving: no mode produced a throughput number "
+              "(compile/tunnel failure?)")
+    if args.save and measured:
         import os
 
         path = os.path.join(os.path.dirname(os.path.dirname(
