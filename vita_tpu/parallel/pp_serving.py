@@ -1,0 +1,376 @@
+"""Pipeline-parallel programs for the continuous-batching serving Engine.
+
+The reference's serving stack had pipeline parallelism plumbed through the
+engine (web_demo/vllm_tools/vllm_file/mixtral.py:592-628,712-724 —
+`make_layers` stage partition + `IntermediateTensors` p2p between vLLM
+worker processes). This module is the TPU-native equivalent for
+`serve.engine.Engine`: the paged KV pool and the stacked layer params are
+sharded on the LAYER dim over the mesh 'pipe' axis, and the engine's two
+hot programs become shard_map programs over that axis:
+
+- `pp_prefill_chunk`: one chunked-prefill step. The chunk's activation
+  traverses the stages sequentially (stage s runs its L/S local layers
+  under a per-device `lax.cond`, so the off-turn stages skip the compute
+  at runtime, then `ppermute` hands the activation on). Each stage writes
+  ONLY its local rows of the linear prefill scratch — the scratch is
+  pipe-sharded like the pool, so no stage ever holds another stage's KV.
+- `pp_decode_chunk`: the S-wave ring decode. The engine's slots are
+  partitioned into W == S waves; at every substep each stage applies its
+  local layers (paged attention against its local pool shard) to the wave
+  it currently holds, the last stage samples with the wave's sampling
+  tier and the new token's embedding rides the ring wrap back to stage 0.
+  All stages stay busy in steady state and one token completes per
+  substep — S times the throughput of a naive layer-split decode.
+
+Both programs keep the single-chip engine's exact contract (chunked
+tokens out, fed-token emission order, donated pool, cached device
+operands), so Engine's host logic — continuous batching, streaming
+callbacks, cancellation, KV-prefix reuse — is unchanged in PP mode.
+Token-identical to the single-chip engine (tests/test_pp_engine.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from vita_tpu.models import mixtral
+from vita_tpu.models.mixtral import (
+    MixtralConfig,
+    _attention_block,
+    _attention_block_paged,
+)
+from vita_tpu.ops.moe import load_balancing_loss, moe_ffn, route_topk
+from vita_tpu.ops.norms import rms_norm
+from vita_tpu.parallel.pipeline import PIPE
+
+Params = Dict[str, Any]
+
+
+def _vary(a):
+    return jax.lax.pcast(a, (PIPE,), to="varying")
+
+
+# ----------------------------------------------------------------------
+# chunked prefill
+# ----------------------------------------------------------------------
+@functools.partial(
+    jax.jit, donate_argnames=("sk", "sv"),
+    static_argnames=("llm", "chunk", "mesh", "mode"),
+)
+def pp_prefill_chunk(
+    llm_params: Params,
+    sk: jnp.ndarray,  # [L, 1, bucket, Hkv, hd] scratch, pipe-sharded on L
+    sv: jnp.ndarray,
+    embeds: jnp.ndarray,  # [1, bucket, D]
+    offset: jnp.ndarray,  # scalar int32
+    true_len: jnp.ndarray,  # scalar int32
+    temp: jnp.ndarray,  # [1]
+    tk: jnp.ndarray,  # [1] int32
+    tp: jnp.ndarray,  # [1]
+    key: jax.Array,
+    *,
+    llm: MixtralConfig,
+    chunk: int,
+    mesh,
+    mode: str = "filtered",
+):
+    """PP twin of serve.engine._prefill_chunk_fn: same signature/returns
+    (new_sk, new_sv, first_token, key); the layer stack runs as a
+    sequential stage chain over the 'pipe' axis."""
+    from vita_tpu.sampling import sample_tokens
+
+    n_stages = int(mesh.shape[PIPE])
+    p_len, d = embeds.shape[1], embeds.shape[2]
+    x = jax.lax.dynamic_slice(embeds, (0, offset, 0), (1, chunk, d))
+    positions = offset + jnp.arange(chunk)[None]  # [1, chunk]
+    valid = jnp.arange(p_len)[None] < offset + chunk  # [1, bucket]
+    cache_pos = offset[None]  # [1]
+
+    def stage_fn(lp_local, x, positions, valid, cache_pos, sk_loc, sv_loc):
+        stage = jax.lax.axis_index(PIPE)
+
+        def run_local(args):
+            x0, sk0, sv0 = args
+
+            def f(carry, inp):
+                xx = carry
+                lp, ck, cv = inp
+                h = rms_norm(xx, lp["ln_attn"], llm.rms_eps)
+                attn_out, nk, nv = _attention_block(
+                    lp["attn"], llm, h, positions, valid, ck, cv, cache_pos,
+                )
+                xx = xx + attn_out
+                h = rms_norm(xx, lp["ln_moe"], llm.rms_eps)
+                moe_out, _ = moe_ffn(
+                    lp["moe"], h.reshape(chunk, d), llm.top_k,
+                    mode=llm.moe_mode,
+                    capacity_factor=llm.moe_capacity_factor,
+                )
+                return xx + moe_out.reshape(1, chunk, d), (nk, nv)
+
+            y, (nk, nv) = jax.lax.scan(f, x0, (lp_local, sk0, sv0))
+            return y, nk, nv
+
+        def skip(args):
+            x0, sk0, sv0 = args
+            return jnp.zeros_like(x0), sk0, sv0
+
+        state = _vary(jnp.zeros_like(x))
+        y = state
+        for t in range(n_stages):
+            x_cur = _vary(x) if t == 0 else state
+            # per-device predicate: the off-turn stages skip the compute at
+            # runtime (same trick as pipeline_decode_greedy's lm_head cond)
+            y, sk_loc, sv_loc = jax.lax.cond(
+                stage == t, run_local, skip, (x_cur, sk_loc, sv_loc)
+            )
+            if t < n_stages - 1:
+                state = jax.lax.ppermute(
+                    y, PIPE, [(i, i + 1) for i in range(n_stages - 1)]
+                )
+        # final hidden lives on the last stage; psum-mask replicates it
+        x_out = jax.lax.psum(
+            jnp.where(stage == n_stages - 1, y, jnp.zeros_like(y)), PIPE
+        )
+        return x_out, sk_loc, sv_loc
+
+    hidden, new_sk, new_sv = jax.shard_map(
+        stage_fn,
+        mesh=mesh,
+        in_specs=(P(PIPE), P(), P(), P(), P(), P(PIPE), P(PIPE)),
+        out_specs=(P(), P(PIPE), P(PIPE)),
+        axis_names={PIPE},
+    )(llm_params["layers"], x, positions, valid, cache_pos, sk, sv)
+
+    hidden = rms_norm(hidden, llm_params["ln_final"], llm.rms_eps)
+    row = jnp.clip(true_len - 1 - offset, 0, chunk - 1)
+    h = jax.lax.dynamic_slice(hidden, (0, row, 0), (1, 1, d))[:, 0]
+    logits = h @ llm_params["lm_head"]
+    key, sub = jax.random.split(key)
+    tok = sample_tokens(logits, sub, temp, tk, tp, mode=mode)
+    return new_sk, new_sv, tok, key
+
+
+# ----------------------------------------------------------------------
+# S-wave ring decode over the paged pool
+# ----------------------------------------------------------------------
+@functools.partial(
+    jax.jit, donate_argnames=("kp", "vp"),
+    static_argnames=("llm_cfg", "chunk_len", "sampling_mode", "mesh"),
+)
+def pp_decode_chunk(
+    llm_params: Params,  # decode params: layers pipe-sharded, head replicated
+    kp: jnp.ndarray,  # [L, Hkv, P, page, d] pool, pipe-sharded on L
+    vp: jnp.ndarray,
+    table: jnp.ndarray,  # [W, Bw, max_pages] int32
+    tok: jnp.ndarray,  # [W, Bw] int32 — last sampled, kv not yet written
+    pos: jnp.ndarray,  # [W, Bw] int32
+    active: jnp.ndarray,  # [W, Bw] bool
+    temps: jnp.ndarray,  # [W, Bw]
+    topks: jnp.ndarray,  # [W, Bw] int32
+    topps: jnp.ndarray,  # [W, Bw]
+    key: jax.Array,
+    *,
+    llm_cfg: MixtralConfig,
+    chunk_len: int,
+    sampling_mode: str,
+    mesh,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jax.Array]:
+    """Advance every wave ``chunk_len`` tokens through the S-stage ring.
+
+    Wave w's token i is processed by stage s at substep t = w + i*S + s;
+    the last stage samples (wave's own sampling-tier knobs) and the new
+    embedding rides the ring wrap straight into stage 0. Emission keeps
+    the engine's fed-token convention: returns
+    (kp, vp, toks_fed [W, Bw, chunk_len], next_tok [W, Bw],
+    pos_out [W, Bw], key).
+    """
+    from vita_tpu.sampling import sample_tokens
+
+    n_stages = int(mesh.shape[PIPE])
+    w_waves, bw = tok.shape
+    if w_waves != n_stages:
+        raise ValueError(f"wave count {w_waves} != pipe stages {n_stages}")
+    d = llm_cfg.d_model
+    total = n_stages * chunk_len + n_stages - 1
+    gather_mode = llm_cfg.moe_mode in ("gather", "gather_q", "gather_q4")
+
+    x0 = jnp.take(llm_params["embed"], tok, axis=0)[:, :, None].astype(
+        llm_cfg.dtype
+    )  # [W, Bw, 1, D]
+    # all sampling subkeys precomputed outside the shard_map (a PRNG-key
+    # carry cannot ride the psum-mask replication trick); every stage
+    # splits identically, only the last consumes
+    subkeys = jax.random.split(key, total + 1)
+    new_key = subkeys[total]
+    head = {
+        "ln_final": llm_params["ln_final"],
+        "lm_head": llm_params["lm_head"],
+        "embed": llm_params["embed"],
+    }
+
+    def ring_fn(lp_local, head, kp, vp, table, pos, active, temps, topks,
+                topps, x0, subkeys):
+        stage = jax.lax.axis_index(PIPE)
+
+        # local flat expert views for the gather decode kernels (same
+        # invariant as mixtral.pp_decode_greedy: kernels never consume
+        # scan-sliced stacked weights — flat [L/S * E, ...] metadata
+        # reshapes with group ids li*E + topk)
+        if gather_mode:
+            moe = lp_local["moe"]
+            flat = {
+                k: v.reshape((-1,) + v.shape[2:])
+                for k, v in moe.items()
+                if k != "router"
+            }
+            n_local = moe["router"].shape[0]
+            scan_layers = {
+                "attn": lp_local["attn"],
+                "ln_attn": lp_local["ln_attn"],
+                "ln_moe": lp_local["ln_moe"],
+                "router": moe["router"],
+            }
+        else:
+            flat = None
+            n_local = jax.tree.leaves(lp_local)[0].shape[0]
+            scan_layers = lp_local
+        lids = jnp.arange(n_local, dtype=jnp.int32)
+
+        def run_local(x, kp, vp, table_w, pos_w, act_w):
+            def f(carry, inp):
+                x, kp, vp = carry
+                lp, li = inp
+                h = rms_norm(x, lp["ln_attn"], llm_cfg.rms_eps)
+                attn_out, kp, vp = _attention_block_paged(
+                    lp["attn"], llm_cfg, h, pos_w[:, None], kp, vp,
+                    table_w, pos_w, act_w, li,
+                )
+                x = x + attn_out
+                h = rms_norm(x, lp["ln_moe"], llm_cfg.rms_eps)
+                h2d = h.reshape(bw, d)
+                if gather_mode:
+                    from vita_tpu.ops.moe_decode import (
+                        gather_expert_ffn,
+                        gather_expert_ffn_q,
+                        gather_expert_ffn_q4,
+                    )
+
+                    router_logits = jnp.einsum(
+                        "td,de->te", h2d.astype(jnp.float32),
+                        lp["router"].astype(jnp.float32),
+                    )
+                    topk_w, topk_i, _ = route_topk(router_logits, llm_cfg.top_k)
+                    idx = topk_i + li * llm_cfg.n_experts
+                    if llm_cfg.moe_mode == "gather_q4":
+                        eo = gather_expert_ffn_q4(h2d, idx, flat)
+                    elif llm_cfg.moe_mode == "gather_q":
+                        eo = gather_expert_ffn_q(h2d, idx, flat)
+                    else:
+                        eo = gather_expert_ffn(
+                            h2d, idx, flat["w_gate"], flat["w_up"],
+                            flat["w_down"],
+                        )
+                    moe_out = jnp.sum(
+                        eo * topk_w[..., None].astype(h2d.dtype), axis=1
+                    ).astype(x.dtype)
+                else:
+                    moe_out, _ = moe_ffn(
+                        lp["moe"], h2d, llm_cfg.top_k, mode=llm_cfg.moe_mode,
+                        capacity_factor=llm_cfg.moe_capacity_factor,
+                    )
+                return (x + moe_out.reshape(bw, 1, d), kp, vp), None
+
+            (y, kp, vp), _ = jax.lax.scan(f, (x, kp, vp), (scan_layers, lids))
+            return y, kp, vp
+
+        def substep(carry, xs):
+            state, kp, vp, samples = carry
+            t, sub = xs
+            j = t - stage
+            valid = (j >= 0) & (j < n_stages * chunk_len)
+            jc = jnp.maximum(j, 0)
+            wave = jc % n_stages
+            itok = jc // n_stages
+            pos_w = jnp.take(pos, wave, axis=0) + itok  # [Bw]
+            table_w = jnp.take(table, wave, axis=0)  # [Bw, maxp]
+            act_w = jnp.take(active, wave, axis=0) & valid  # [Bw]
+            x_feed = jnp.take(x0, wave, axis=0)  # [Bw, 1, D]
+            x_cur = jnp.where((stage == 0) & (itok == 0), x_feed, state)
+            y, kp, vp = run_local(x_cur, kp, vp, table_w, pos_w, act_w)
+
+            # only the LAST stage pays the lm_head read + sample
+            def finish(yy):
+                h = rms_norm(yy, head["ln_final"], llm_cfg.rms_eps)
+                logits = (h[:, 0] @ head["lm_head"]).astype(jnp.float32)
+                t_new = sample_tokens(
+                    logits, sub, jnp.take(temps, wave, axis=0),
+                    jnp.take(topks, wave, axis=0),
+                    jnp.take(topps, wave, axis=0), mode=sampling_mode,
+                )
+                emb = jnp.take(head["embed"], t_new, axis=0)[:, None].astype(
+                    yy.dtype
+                )
+                return t_new, emb
+
+            def skip(yy):
+                return (
+                    _vary(jnp.zeros((bw,), jnp.int32)),
+                    jnp.zeros_like(yy),
+                )
+
+            tok_new, emb = jax.lax.cond(stage == n_stages - 1, finish, skip, y)
+            # the last stage finishes wave (t-(S-1)) mod S token (t-(S-1))//S
+            jf = jnp.maximum(t - (n_stages - 1), 0)
+            w_f, i_f = jf % n_stages, jf // n_stages
+            fin_valid = (t >= n_stages - 1) & (i_f < chunk_len)
+            i_f = jnp.where(fin_valid, i_f, chunk_len)  # OOB -> drop
+            samples = samples.at[w_f, i_f].set(tok_new, mode="drop")
+            ring_out = jnp.where(stage == n_stages - 1, emb, y)
+            state = jax.lax.ppermute(
+                ring_out,
+                PIPE,
+                [(i, (i + 1) % n_stages) for i in range(n_stages)],
+            )
+            return (state, kp, vp, samples), None
+
+        init = (
+            _vary(jnp.zeros((bw, 1, d), llm_cfg.dtype)),
+            kp,
+            vp,
+            _vary(jnp.zeros((w_waves, chunk_len, bw), jnp.int32)),
+        )
+        (state, kp, vp, samples), _ = jax.lax.scan(
+            substep, init, (jnp.arange(total), subkeys[:total])
+        )
+        # only the last stage's sample entries are real tokens
+        samples = jax.lax.psum(
+            jnp.where(stage == n_stages - 1, samples, jnp.zeros_like(samples)),
+            PIPE,
+        )
+        return kp, vp, samples
+
+    # only the manual ('pipe') axis may appear in the specs; the engine
+    # rejects pipe x model/expert composition, so heads stay unsharded
+    pool_spec = P(PIPE, None, None, None, None)
+    kp, vp, samples = jax.shard_map(
+        ring_fn,
+        mesh=mesh,
+        in_specs=(P(PIPE), P(), pool_spec, pool_spec, P(), P(), P(), P(),
+                  P(), P(), P(), P()),
+        out_specs=(pool_spec, pool_spec, P()),
+        axis_names={PIPE},
+    )(llm_params["layers"], head, kp, vp, table, pos, active, temps, topks,
+      topps, x0, subkeys)
+
+    samples = samples.transpose(0, 2, 1)  # [W, Bw, chunk_len]
+    # fed-token convention (sampling.decode_chunk): emit the token FED at
+    # each step; the last step's sample is the next chunk's carry
+    toks_fed = jnp.concatenate([tok[:, :, None], samples[:, :, :-1]], axis=2)
+    next_tok = samples[:, :, -1]
+    return kp, vp, toks_fed, next_tok, pos + chunk_len, new_key
