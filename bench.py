@@ -40,7 +40,22 @@ CACHE_LEN = 512
 # prefill program alone), so this is generous — it only exists so a SICK
 # tunnel (hung compile helper, HTTP 500 storms: observed 2026-08-17/18)
 # cannot turn the driver's bench run into an empty BENCH_rN.json.
-WATCHDOG_S = int(os.environ.get("VITA_BENCH_WATCHDOG_S", "1800"))
+WATCHDOG_S = int(os.environ.get("VITA_BENCH_WATCHDOG_S", "0")) or None
+
+
+def _watchdog_s() -> int:
+    """Default 1800 s with a WARM persistent compile cache; doubled when
+    the cache is empty/missing — a cold run legitimately compiles many
+    programs (prefill, decode, engine chunk/sample, media towers) at
+    minutes each with 5x tunnel variance, and must not be killed as sick."""
+    if WATCHDOG_S:
+        return WATCHDOG_S
+    cache = os.path.expanduser("~/.cache/vita_tpu_xla")
+    try:
+        warm = bool(os.listdir(cache))
+    except OSError:
+        warm = False
+    return 1800 if warm else 3600
 
 
 def _load_recorded() -> dict:
@@ -53,6 +68,7 @@ def _load_recorded() -> dict:
                           ("train_moe.json", "recorded_train_"),
                           ("engine_batch.json", "recorded_batch_"),
                           ("engine_concurrency.json", "recorded_conc_"),
+                          ("extrap_check.json", "recorded_extrap_"),
                           ("engine_ttft.json", "recorded_engine_")):
         path = os.path.join(rdir, fname)
         if os.path.exists(path):
@@ -116,26 +132,32 @@ def _supervised() -> None:
     under a watchdog so a sick TPU tunnel (hung remote compile) cannot
     leave the driver with no JSON line at all."""
     recorded = _load_recorded()
+    watchdog_s = _watchdog_s()
     argv = [sys.executable, os.path.abspath(__file__), "--live"]
     try:
         p = subprocess.run(argv, capture_output=True, text=True,
-                           timeout=WATCHDOG_S)
+                           timeout=watchdog_s)
         if p.stderr:
             sys.stderr.write(p.stderr[-2000:])
         obj = None
         for ln in reversed(p.stdout.splitlines()):
             try:
-                obj = json.loads(ln)
-                break
+                cand = json.loads(ln)
             except ValueError:
                 continue
+            # only a dict counts as the result line: a stray JSON-parsable
+            # scalar ('true', a bare number) from a library print must not
+            # shadow the real result object earlier in the stream
+            if isinstance(cand, dict):
+                obj = cand
+                break
         if p.returncode == 0 and isinstance(obj, dict):
             print(json.dumps(obj))
             return
         tail = (p.stderr or p.stdout or "").strip().replace("\n", " ")
         err = f"live bench rc={p.returncode}: {tail[-240:]}"
     except subprocess.TimeoutExpired:
-        err = (f"live bench exceeded {WATCHDOG_S}s watchdog "
+        err = (f"live bench exceeded {watchdog_s}s watchdog "
                "(TPU tunnel degraded?)")
     print(json.dumps(_degraded_output(recorded, err)))
 

@@ -107,12 +107,13 @@ def main() -> None:
         "ratio_p50": round(float(np.percentile(during, 50) / np.percentile(idle, 50)), 2),
         "b_prefill_chunks": -(-900 // 256),
         "b_ttft_s": round(b.ttft_s, 2),
-        "pool": {
-            "total_pages": eng.total_pages,
-            "pages_a": pages_needed(100 + 400, eng.page_size),
-            "pages_b": pages_needed(900 + 16, eng.page_size),
-            "linear_equivalent_pages": 4 * pages_needed(max_len, eng.page_size),
-        },
+        # flat scalar keys: bench.py _load_recorded only merges top-level
+        # int/float values into the recorded_conc_* extras, so the page
+        # accounting must not hide inside a nested dict
+        "pool_total_pages": eng.total_pages,
+        "pool_pages_a": pages_needed(100 + 400, eng.page_size),
+        "pool_pages_b": pages_needed(900 + 16, eng.page_size),
+        "pool_linear_equivalent_pages": 4 * pages_needed(max_len, eng.page_size),
     }
     print(json.dumps(out))
     if flags.save:
