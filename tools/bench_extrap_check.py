@@ -42,7 +42,7 @@ def active_bytes_per_step(params, cfg) -> float:
     arrays (incl. int4 payload + scales) — bench.py's accounting."""
     moe = params["layers"]["moe"]
     expert = sum(
-        np.asarray(v).size * np.asarray(v).dtype.itemsize
+        v.size * v.dtype.itemsize
         for k, v in moe.items() if k != "router"
     )
     total = sum(
@@ -93,10 +93,20 @@ def build(n_layers):
     cfg = mixtral.MixtralConfig(
         n_layers=n_layers, moe_mode="dense", dtype=jnp.bfloat16
     )
-    params = mixtral.init_params(jax.random.PRNGKey(0), cfg)
-    q = mixtral.quantize_moe_for_decode(params, bits=4)
-    del params
-    return dataclasses.replace(cfg, moe_mode="gather_q4"), q
+    # materialize the QUANTIZED tree directly: initializing the bf16 8L
+    # model first (22 GB of experts) would OOM the 16 GB chip before
+    # quantization, and HBM-streaming time is value-independent — shapes
+    # and dtypes are what we are timing
+    shapes = jax.eval_shape(
+        lambda key: mixtral.quantize_moe_for_decode(
+            mixtral.init_params(key, cfg), bits=4
+        ),
+        jax.random.PRNGKey(0),
+    )
+    mk = jax.jit(lambda: jax.tree.map(
+        lambda s: jnp.zeros(s.shape, s.dtype), shapes
+    ))
+    return dataclasses.replace(cfg, moe_mode="gather_q4"), mk()
 
 
 def main():
