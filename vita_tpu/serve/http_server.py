@@ -625,6 +625,10 @@ def main(argv=None) -> int:
                         "on a v5e-8: shards params + the paged KV pool so "
                         "the full 8x7B fits (the reference serves with vLLM "
                         "tensor_parallel_size=2)")
+    p.add_argument("--decode-ticks", type=int, default=4,
+                   help="decode chunks chained per host loop in pure-decode "
+                        "phases (higher = less host overhead per token, "
+                        "burstier streaming; 1 = smoothest cadence)")
     p.add_argument("--warmup", default=None, action="store_true",
                    help="precompile the serving programs at startup (default "
                         "on for real checkpoints, off for tiny-random) so "
@@ -667,7 +671,7 @@ def main(argv=None) -> int:
         mesh = make_mesh(shape=(1, 1, expert, model),
                          devices=jax.devices()[: expert * model])
     engine = Engine(params, cfg, n_slots=args.slots, max_len=args.max_len,
-                    mesh=mesh)
+                    mesh=mesh, decode_ticks=args.decode_ticks)
     warmup = args.warmup
     if warmup is None:
         warmup = args.model != "tiny-random"
