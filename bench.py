@@ -67,6 +67,7 @@ def _load_recorded() -> dict:
                           ("profile_decode.json", "recorded_profile_"),
                           ("train_moe.json", "recorded_train_"),
                           ("engine_batch.json", "recorded_batch_"),
+                          ("masked_moe.json", "recorded_masked_"),
                           ("engine_concurrency.json", "recorded_conc_"),
                           ("extrap_check.json", "recorded_extrap_"),
                           ("engine_ttft.json", "recorded_engine_")):

@@ -23,6 +23,19 @@ jax.config.update("jax_num_cpu_devices", 8)
 import pytest  # noqa: E402
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_per_module():
+    """Drop compiled executables between test modules.
+
+    With ~320 tests compiling hundreds of XLA:CPU programs in one process,
+    the LLVM JIT eventually segfaults inside backend_compile_and_load on
+    the next large program (reproducibly at the stage-3 train-step compile
+    in test_stage_chaining.py; the same test passes in isolation). Bounding
+    resident compiled code per module keeps the suite under the limit."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def mesh8():
     from vita_tpu.parallel.mesh import make_mesh

@@ -192,3 +192,111 @@ def test_int4_kernel_per_channel_blocked_f():
         np.linalg.norm(got) * np.linalg.norm(want)
     )
     assert cos > 0.97
+
+
+# ---------------------------------------------------------------------------
+# masked active-expert (DMA-deduped) batched-decode kernels
+# ---------------------------------------------------------------------------
+def test_active_expert_plan_unique_and_padded():
+    from vita_tpu.ops.moe_decode import _active_expert_plan
+
+    topk_i = jnp.array([[2, 0], [2, 3], [0, 2]], jnp.int32)  # unique {0,2,3}
+    topk_w = jnp.full((3, 2), 0.5, jnp.float32)
+    act, m = _active_expert_plan(topk_w, topk_i, n_experts=8)
+    act = np.asarray(act)
+    m = np.asarray(m)
+    assert act.shape == (6,)
+    assert list(act[:3]) == [0, 2, 3]
+    # padding repeats the LAST unique id (adjacent -> DMA elided) ...
+    assert all(act[3:] == 3)
+    # ... and its mask rows are zero (no double count)
+    assert np.all(m[3:] == 0.0)
+    # reconstruction: sum of per-expert masks recovers each token's weights
+    assert np.allclose(m.sum(0), 1.0)
+    # token 1 routes to experts 2 and 3
+    assert m[1, 1] == 0.5 and m[2, 1] == 0.5 and m[0, 1] == 0.0
+
+
+@pytest.mark.parametrize("t", [5, 8, 16])
+def test_masked_ffn_matches_dense(t):
+    from vita_tpu.ops.moe import load_balancing_loss, route_topk
+    from vita_tpu.ops.moe_decode import masked_expert_ffn
+
+    params = init_moe_params(jax.random.PRNGKey(0), n_experts=4, d_model=64, d_ff=256)
+    x = jax.random.normal(jax.random.PRNGKey(1), (t, 64), jnp.float32)
+    dense, _ = moe_ffn(params, x, top_k=2, mode="dense")
+    logits = jnp.einsum("td,de->te", x, params["router"].astype(jnp.float32))
+    topk_w, topk_i, _ = route_topk(logits, 2)
+    with pltpu.force_tpu_interpret_mode():
+        out = masked_expert_ffn(
+            x, topk_w, topk_i,
+            params["w_gate"], params["w_up"], params["w_down"], n_experts=4,
+        )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(dense), rtol=2e-4, atol=2e-4)
+
+
+def test_masked_ffn_flat_stacked_indices():
+    """Flat layer*E+e ids (the decode path's stacked-weight view) must
+    address the right rows."""
+    from vita_tpu.ops.moe import route_topk
+    from vita_tpu.ops.moe_decode import masked_expert_ffn
+
+    e, d, f, layers = 4, 32, 96, 2
+    key = jax.random.PRNGKey(0)
+    wg = jax.random.normal(key, (layers * e, d, f), jnp.float32) * 0.05
+    wu = jax.random.normal(jax.random.PRNGKey(1), (layers * e, d, f)) * 0.05
+    wd = jax.random.normal(jax.random.PRNGKey(2), (layers * e, f, d)) * 0.05
+    x = jax.random.normal(jax.random.PRNGKey(3), (4, d))
+    topk_i = jnp.array([[0, 2], [1, 3], [2, 0], [3, 1]], jnp.int32) + e  # layer 1
+    topk_w = jnp.array(
+        [[0.7, 0.3], [0.6, 0.4], [0.5, 0.5], [0.8, 0.2]], jnp.float32
+    )
+    from vita_tpu.ops.moe_decode import _gather_ffn_xla
+
+    eo = _gather_ffn_xla(x, topk_i, wg, wu, wd)
+    want = jnp.sum(eo * topk_w[..., None], axis=1)
+    with pltpu.force_tpu_interpret_mode():
+        got = masked_expert_ffn(x, topk_w, topk_i, wg, wu, wd, n_experts=e)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_masked_int8_close_to_dense():
+    from vita_tpu.ops.moe import route_topk
+    from vita_tpu.ops.moe_decode import masked_expert_ffn_q, quantize_expert_weights
+
+    params = init_moe_params(jax.random.PRNGKey(0), n_experts=4, d_model=64, d_ff=256)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 64))
+    dense, _ = moe_ffn(params, x, top_k=2, mode="dense")
+    logits = jnp.einsum("td,de->te", x, params["router"].astype(jnp.float32))
+    topk_w, topk_i, _ = route_topk(logits, 2)
+    qp = quantize_expert_weights(params)
+    with pltpu.force_tpu_interpret_mode():
+        out = masked_expert_ffn_q(x, topk_w, topk_i, qp, n_experts=4)
+    a, b = np.asarray(dense).ravel(), np.asarray(out).ravel()
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+    assert cos > 0.999, cos
+
+
+def test_masked_int4_matches_q4_gather():
+    """Kernel-exactness: the masked q4 kernel must match the per-row q4
+    gather on the SAME quantized weights (isolates kernel bugs from
+    int4 quantization noise, like test_int4_gather_close_to_dense)."""
+    from vita_tpu.ops.moe import route_topk
+    from vita_tpu.ops.moe_decode import (
+        gather_expert_ffn_q4,
+        masked_expert_ffn_q4,
+        quantize_expert_weights_int4,
+    )
+
+    params = init_moe_params(jax.random.PRNGKey(0), n_experts=4, d_model=64, d_ff=256)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 64))
+    logits = jnp.einsum("td,de->te", x, params["router"].astype(jnp.float32))
+    topk_w, topk_i, _ = route_topk(logits, 2)
+    qp = quantize_expert_weights_int4(params)
+    eo = gather_expert_ffn_q4(x, topk_i, qp)
+    want = jnp.sum(eo * topk_w[..., None].astype(x.dtype), axis=1)
+    with pltpu.force_tpu_interpret_mode():
+        out = masked_expert_ffn_q4(x, topk_w, topk_i, qp, n_experts=4)
+    a, b = np.asarray(want).ravel(), np.asarray(out).ravel()
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+    assert cos > 0.9999, cos

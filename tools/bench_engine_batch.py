@@ -46,11 +46,11 @@ def main() -> None:
         ),
     }
 
-    eng = Engine(params, cfg, n_slots=4, max_len=512,
+    eng = Engine(params, cfg, n_slots=8, max_len=512,
                  decode_moe_mode="gather", prompt_buckets=(128,))
 
     results = {}
-    for n in (1, 2, 4):
+    for n in (1, 2, 4, 8):
         stamps = []
         reqs = [
             Request(input_ids=np.arange(2 + i, 102 + i, dtype=np.int32),
@@ -68,6 +68,10 @@ def main() -> None:
 
     results["batch4_scaling_x"] = round(
         results["agg_tokens_per_s_4slot_2L"]
+        / results["agg_tokens_per_s_1slot_2L"], 2
+    )
+    results["batch8_scaling_x"] = round(
+        results["agg_tokens_per_s_8slot_2L"]
         / results["agg_tokens_per_s_1slot_2L"], 2
     )
     out = {"metric": "engine_batched_decode", **results}

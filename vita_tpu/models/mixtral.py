@@ -463,9 +463,9 @@ def forward(
 
         def moe_gather_layer(h2d, moe_lp, layer_idx):
             from vita_tpu.ops.moe_decode import (
-                gather_expert_ffn,
-                gather_expert_ffn_q,
-                gather_expert_ffn_q4,
+                masked_expert_ffn,
+                masked_expert_ffn_q,
+                masked_expert_ffn_q4,
             )
 
             router_logits = jnp.einsum(
@@ -478,33 +478,35 @@ def forward(
                 # 'expert' mesh axis; the wrapper flattens per shard
                 from vita_tpu.parallel.sharded_ops import sharded_gather_ffn
 
-                eo = sharded_gather_ffn(
-                    h2d, topk_i,
+                out = sharded_gather_ffn(
+                    h2d, topk_w, topk_i,
                     {k: v for k, v in layers["moe"].items() if k != "router"},
                     layer_idx, cfg.n_experts, cfg.moe_mode, mesh=mesh,
                 )
-            elif moe_flat is not None:
+                return out.astype(h2d.dtype), aux
+            # single-chip decode: masked active-expert kernels — each
+            # unique selected expert's weights stream from HBM once for
+            # the whole batch (flat layer*E+e ids on the stacked view)
+            if moe_flat is not None:
                 idx = topk_i + layer_idx * cfg.n_experts
                 src = moe_flat
-                if cfg.moe_mode == "gather_q4":
-                    eo = gather_expert_ffn_q4(h2d, idx, src)
-                elif cfg.moe_mode == "gather_q":
-                    eo = gather_expert_ffn_q(h2d, idx, src)
-                else:
-                    eo = gather_expert_ffn(
-                        h2d, idx, src["w_gate"], src["w_up"], src["w_down"]
-                    )
             else:
+                idx = topk_i
                 src = moe_lp
-                if cfg.moe_mode == "gather_q4":
-                    eo = gather_expert_ffn_q4(h2d, topk_i, src)
-                elif cfg.moe_mode == "gather_q":
-                    eo = gather_expert_ffn_q(h2d, topk_i, src)
-                else:
-                    eo = gather_expert_ffn(
-                        h2d, topk_i, src["w_gate"], src["w_up"], src["w_down"]
-                    )
-            out = jnp.sum(eo * topk_w[..., None].astype(h2d.dtype), axis=1)
+            if cfg.moe_mode == "gather_q4":
+                out = masked_expert_ffn_q4(
+                    h2d, topk_w, idx, src, n_experts=cfg.n_experts
+                )
+            elif cfg.moe_mode == "gather_q":
+                out = masked_expert_ffn_q(
+                    h2d, topk_w, idx, src, n_experts=cfg.n_experts
+                )
+            else:
+                out = masked_expert_ffn(
+                    h2d, topk_w, idx,
+                    src["w_gate"], src["w_up"], src["w_down"],
+                    n_experts=cfg.n_experts,
+                )
             return out.astype(h2d.dtype), aux
 
         # gmm prefill under a serving mesh: EP-sharded grouped matmul

@@ -133,23 +133,25 @@ def moe_ffn(
     if mode in ("gather_q", "gather_q4"):
         # int8/int4 weight-only decode paths (params must be pre-quantized
         # via ops.moe_decode.quantize_expert_weights[_int4] /
-        # mixtral.quantize_moe_for_decode)
-        from vita_tpu.ops.moe_decode import gather_expert_ffn_q, gather_expert_ffn_q4
+        # mixtral.quantize_moe_for_decode). The masked wrappers dedupe the
+        # expert-weight DMA across the batch (per-row gather at T=1 cost)
+        # and fall back to the per-row kernels off-TPU / at large T.
+        from vita_tpu.ops.moe_decode import masked_expert_ffn_q, masked_expert_ffn_q4
 
-        fn = gather_expert_ffn_q4 if mode == "gather_q4" else gather_expert_ffn_q
-        expert_out = fn(x, topk_i, params)
-        out = jnp.sum(expert_out * topk_w[..., None].astype(x.dtype), axis=1)
+        fn = masked_expert_ffn_q4 if mode == "gather_q4" else masked_expert_ffn_q
+        out = fn(x, topk_w, topk_i, params, n_experts=e)
         return out.astype(x.dtype), aux
 
     if mode == "gather":
-        # Pallas decode path: stream only the selected experts' weights.
+        # Pallas decode path: stream only the selected experts' weights,
+        # each unique expert read ONCE for the whole batch.
         # Routing math identical to 'dense'; aux loss still computed here.
-        from vita_tpu.ops.moe_decode import gather_expert_ffn
+        from vita_tpu.ops.moe_decode import masked_expert_ffn
 
-        expert_out = gather_expert_ffn(
-            x, topk_i, params["w_gate"], params["w_up"], params["w_down"]
+        out = masked_expert_ffn(
+            x, topk_w, topk_i,
+            params["w_gate"], params["w_up"], params["w_down"], n_experts=e,
         )
-        out = jnp.sum(expert_out * topk_w[..., None].astype(x.dtype), axis=1)
         return out.astype(x.dtype), aux
 
     if mode == "gmm":

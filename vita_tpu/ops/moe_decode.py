@@ -452,3 +452,331 @@ def gather_expert_ffn_q4(
       qparams["w_up"], qparams["w_up_scale"],
       qparams["w_down"], qparams["w_down_scale"])
     return out[:, 0].reshape(t, k, d)
+
+
+# ---------------------------------------------------------------------------
+# Batched decode: active-expert masked kernels (DMA-deduped)
+# ---------------------------------------------------------------------------
+# The per-(token, k) gather kernels above re-DMA an expert's weights for
+# every pair that selects it, so batched decode stops scaling once the
+# selected-pair count passes the expert count (measured: 1.23x aggregate
+# at 4 slots). These kernels instead iterate (f-block OUTER, active expert
+# INNER): each UNIQUE selected expert's weights stream from HBM exactly
+# once per step regardless of batch — Pallas elides the copy when the
+# block index repeats between consecutive grid steps, so the act list is
+# sorted and padded by REPEATING its last id. All T tokens are computed
+# against each active expert (wasted FLOPs are free: decode is HBM-bound)
+# and the routing weights + padding-row zeroing fold in afterwards via a
+# tiny [A, T] x [A, T, D] einsum. Equivalent role to vLLM's batched
+# FusedMoE path (web_demo/vllm_tools/vllm_file/mixtral.py:375-423).
+
+MASKED_MAX_T = 16
+_MASKED_TP = 16  # token rows padded to one bf16 sublane tile
+# measured on v5e (tools/bench_masked_moe.py, bench_results/masked_moe.json):
+# masked wins 1.7-4.5x once the selected-pair count approaches the expert
+# count (t>=4 for bf16/int8, t>=8 for int4 whose per-row kernel is already
+# byte-light); below that the per-row gather's smaller launch wins
+MASKED_MIN_T = 4
+MASKED_MIN_T_Q4 = 8
+
+
+def _active_expert_plan(topk_w, topk_idx, n_experts: int):
+    """(act [A] int32, m [A, T] f32) for A = min(T*k, n_experts).
+
+    ``act`` lists each unique selected expert once (ascending), padded by
+    repeating the LAST unique id (adjacent twin -> weight DMA elided);
+    ``m[a, t]`` carries token t's routing weight for expert act[a], zeroed
+    on padding rows so the repeated id is not double-counted."""
+    t, k = topk_idx.shape
+    a_len = min(t * k, n_experts)
+    flat = topk_idx.reshape(-1).astype(jnp.int32)
+    c = jnp.sort(flat)
+    first = jnp.concatenate([jnp.ones((1,), bool), c[1:] != c[:-1]])
+    pos = jnp.cumsum(first) - 1  # unique rank of each sorted element
+    u = pos[-1] + 1
+    act = (
+        jnp.zeros((a_len,), jnp.int32)
+        .at[jnp.minimum(pos, a_len - 1)]
+        .set(c, mode="drop")
+    )
+    act = jnp.where(jnp.arange(a_len) < u, act, c[-1])
+    valid = (jnp.arange(a_len) < u).astype(jnp.float32)
+    m = (
+        jnp.einsum(
+            "tk,atk->at",
+            topk_w.astype(jnp.float32),
+            (topk_idx[None, :, :] == act[:, None, None]).astype(jnp.float32),
+        )
+        * valid[:, None]
+    )
+    return act, m
+
+
+def _masked_ffn_kernel(
+    act_ref,  # SMEM [A] active expert ids (sorted unique + pad)
+    x_ref,  # [Tp, D] all tokens (constant block — fetched once)
+    wg_ref,  # [1, D, bf] gate block of expert act[a]
+    wu_ref,  # [1, D, bf]
+    wd_ref,  # [1, bf, D]
+    out_ref,  # [1, Tp, D] per-expert unweighted FFN output
+    acc_ref,  # scratch [A, Tp, D] f32 (per-expert rows: f-blocks interleave)
+):
+    fi = pl.program_id(0)
+    a = pl.program_id(1)
+    nf = pl.num_programs(0)
+
+    @pl.when(fi == 0)
+    def _init():
+        acc_ref[pl.ds(a, 1)] = jnp.zeros_like(acc_ref[pl.ds(a, 1)])
+
+    x = x_ref[...]  # [Tp, D]
+    gate = jax.lax.dot_general(
+        x, wg_ref[0], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    up = jax.lax.dot_general(
+        x, wu_ref[0], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    h = jax.nn.silu(gate) * up
+    acc_ref[pl.ds(a, 1)] += jax.lax.dot_general(
+        h.astype(wd_ref.dtype), wd_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[None]
+
+    @pl.when(fi == nf - 1)
+    def _finish():
+        out_ref[...] = acc_ref[pl.ds(a, 1)].astype(out_ref.dtype)
+
+
+def masked_expert_ffn(
+    x: jnp.ndarray,  # [T, D]
+    topk_w: jnp.ndarray,  # [T, k] routing weights
+    topk_idx: jnp.ndarray,  # [T, k] int32 (flat layer*E+e ids allowed)
+    w_gate: jnp.ndarray,  # [E_rows, D, F]
+    w_up: jnp.ndarray,
+    w_down: jnp.ndarray,  # [E_rows, F, D]
+    n_experts: int,  # true expert count (bounds unique ids per call)
+    block_f: int = DEFAULT_BLOCK_F,
+) -> jnp.ndarray:
+    """Weighted MoE FFN output [T, D]; each unique selected expert's
+    weights are read from HBM once for the whole batch."""
+    t, d = x.shape
+    if _use_xla_fallback() or t > MASKED_MAX_T or t < MASKED_MIN_T:
+        # gather_expert_ffn picks the Pallas per-row kernel on TPU and the
+        # XLA twin elsewhere
+        eo = gather_expert_ffn(x, topk_idx, w_gate, w_up, w_down,
+                               block_f=block_f)
+        out = jnp.sum(eo * topk_w[..., None].astype(x.dtype), axis=1)
+        return out.astype(x.dtype)
+    k = topk_idx.shape[1]
+    _, _, f = w_gate.shape
+    bf = min(block_f, f)
+    nf = (f + bf - 1) // bf
+    act, m = _active_expert_plan(topk_w, topk_idx, n_experts)
+    a_len = act.shape[0]
+    tp = _MASKED_TP
+    x_pad = jnp.zeros((tp, d), x.dtype).at[:t].set(x)
+
+    y = pl.pallas_call(
+        _masked_ffn_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nf, a_len),
+            in_specs=[
+                pl.BlockSpec((tp, d), lambda fi, a, act: (0, 0)),
+                pl.BlockSpec((1, d, bf), lambda fi, a, act: (act[a], 0, fi)),
+                pl.BlockSpec((1, d, bf), lambda fi, a, act: (act[a], 0, fi)),
+                pl.BlockSpec((1, bf, d), lambda fi, a, act: (act[a], fi, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, tp, d), lambda fi, a, act: (a, 0, 0)),
+            scratch_shapes=[pltpu.VMEM((a_len, tp, d), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((a_len, tp, d), x.dtype),
+    )(act, x_pad, w_gate, w_up, w_down)
+    out = jnp.einsum("at,atd->td", m, y[:, :t].astype(jnp.float32))
+    return out.astype(x.dtype)
+
+
+def _masked_ffn_kernel_q(
+    act_ref,
+    x_ref,  # [Tp, D]
+    wg_ref,  # [1, D, bf] int8
+    wgs_ref,  # [1, 1, bf] f32 per-channel scales
+    wu_ref, wus_ref,
+    wd_ref,  # [1, bf, D] int8
+    wds_ref,  # [1, 1, D] f32
+    out_ref,  # [1, Tp, D]
+    acc_ref,  # [A, Tp, D] f32
+):
+    fi = pl.program_id(0)
+    a = pl.program_id(1)
+    nf = pl.num_programs(0)
+
+    @pl.when(fi == 0)
+    def _init():
+        acc_ref[pl.ds(a, 1)] = jnp.zeros_like(acc_ref[pl.ds(a, 1)])
+
+    x = x_ref[...]
+    wg = wg_ref[0].astype(jnp.bfloat16)
+    wu = wu_ref[0].astype(jnp.bfloat16)
+    gate = jax.lax.dot_general(
+        x, wg, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * wgs_ref[0]
+    up = jax.lax.dot_general(
+        x, wu, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * wus_ref[0]
+    h = jax.nn.silu(gate) * up
+    wd = wd_ref[0].astype(jnp.bfloat16)
+    acc_ref[pl.ds(a, 1)] += (
+        jax.lax.dot_general(
+            h.astype(jnp.bfloat16), wd, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * wds_ref[0]
+    )[None]
+
+    @pl.when(fi == nf - 1)
+    def _finish():
+        out_ref[...] = acc_ref[pl.ds(a, 1)].astype(out_ref.dtype)
+
+
+def masked_expert_ffn_q(
+    x: jnp.ndarray,
+    topk_w: jnp.ndarray,
+    topk_idx: jnp.ndarray,
+    qparams: dict,
+    n_experts: int,
+    block_f: int = 512,
+) -> jnp.ndarray:
+    t, d = x.shape
+    if _use_xla_fallback() or t > MASKED_MAX_T or t < MASKED_MIN_T:
+        eo = gather_expert_ffn_q(x, topk_idx, qparams, block_f=block_f)
+        out = jnp.sum(eo * topk_w[..., None].astype(x.dtype), axis=1)
+        return out.astype(x.dtype)
+    _, _, f = qparams["w_gate"].shape
+    bf = min(block_f, f)
+    nf = (f + bf - 1) // bf
+    act, m = _active_expert_plan(topk_w, topk_idx, n_experts)
+    a_len = act.shape[0]
+    tp = _MASKED_TP
+    x_pad = jnp.zeros((tp, d), x.dtype).at[:t].set(x)
+
+    y = pl.pallas_call(
+        _masked_ffn_kernel_q,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nf, a_len),
+            in_specs=[
+                pl.BlockSpec((tp, d), lambda fi, a, act: (0, 0)),
+                pl.BlockSpec((1, d, bf), lambda fi, a, act: (act[a], 0, fi)),
+                pl.BlockSpec((1, 1, bf), lambda fi, a, act: (act[a], 0, fi)),
+                pl.BlockSpec((1, d, bf), lambda fi, a, act: (act[a], 0, fi)),
+                pl.BlockSpec((1, 1, bf), lambda fi, a, act: (act[a], 0, fi)),
+                pl.BlockSpec((1, bf, d), lambda fi, a, act: (act[a], fi, 0)),
+                pl.BlockSpec((1, 1, d), lambda fi, a, act: (act[a], 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, tp, d), lambda fi, a, act: (a, 0, 0)),
+            scratch_shapes=[pltpu.VMEM((a_len, tp, d), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((a_len, tp, d), x.dtype),
+    )(act, x_pad, qparams["w_gate"], qparams["w_gate_scale"],
+      qparams["w_up"], qparams["w_up_scale"],
+      qparams["w_down"], qparams["w_down_scale"])
+    out = jnp.einsum("at,atd->td", m, y[:, :t].astype(jnp.float32))
+    return out.astype(x.dtype)
+
+
+def _masked_ffn_kernel_q4(
+    act_ref,
+    x_ref,  # [Tp, D]
+    wg_ref,  # [1, D/2, bf] int4-packed
+    wgs_ref,  # [1, 1, bf] f32 per-channel scales
+    wu_ref, wus_ref,
+    wd_ref,  # [1, bf, D/2]
+    wds_ref,  # [1, 1, D]
+    out_ref,
+    acc_ref,
+):
+    fi = pl.program_id(0)
+    a = pl.program_id(1)
+    nf = pl.num_programs(0)
+
+    @pl.when(fi == 0)
+    def _init():
+        acc_ref[pl.ds(a, 1)] = jnp.zeros_like(acc_ref[pl.ds(a, 1)])
+
+    x = x_ref[...]
+    # per-channel scales commute with the contraction: fold after the dot
+    # (same reasoning as _gather_ffn_kernel_q4's fold_dg/fold_fg fast path)
+    wg = _unpack_int4(wg_ref[0], 0)
+    wu = _unpack_int4(wu_ref[0], 0)
+    gate = jax.lax.dot_general(
+        x, wg, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * wgs_ref[0]
+    up = jax.lax.dot_general(
+        x, wu, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * wus_ref[0]
+    h = jax.nn.silu(gate) * up
+    wd = _unpack_int4(wd_ref[0], 1)
+    acc_ref[pl.ds(a, 1)] += (
+        jax.lax.dot_general(
+            h.astype(jnp.bfloat16), wd, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * wds_ref[0]
+    )[None]
+
+    @pl.when(fi == nf - 1)
+    def _finish():
+        out_ref[...] = acc_ref[pl.ds(a, 1)].astype(out_ref.dtype)
+
+
+def masked_expert_ffn_q4(
+    x: jnp.ndarray,
+    topk_w: jnp.ndarray,
+    topk_idx: jnp.ndarray,
+    qparams: dict,
+    n_experts: int,
+    block_f: int = 512,
+) -> jnp.ndarray:
+    t, d = x.shape
+    # grouped scales (non-default, measured slower) keep the per-row path
+    grouped = (
+        qparams["w_gate_scale"].shape[1] != 1
+        or qparams["w_down_scale"].shape[1] != 1
+    )
+    if (_use_xla_fallback() or t > MASKED_MAX_T or t < MASKED_MIN_T_Q4
+            or grouped):
+        eo = gather_expert_ffn_q4(x, topk_idx, qparams, block_f=block_f)
+        out = jnp.sum(eo * topk_w[..., None].astype(x.dtype), axis=1)
+        return out.astype(x.dtype)
+    _, _, f = qparams["w_gate"].shape  # [E, D/2, F]
+    bf = min(block_f, f)
+    nf = (f + bf - 1) // bf
+    act, m = _active_expert_plan(topk_w, topk_idx, n_experts)
+    a_len = act.shape[0]
+    tp = _MASKED_TP
+    x_pad = jnp.zeros((tp, d), x.dtype).at[:t].set(x)
+
+    y = pl.pallas_call(
+        _masked_ffn_kernel_q4,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nf, a_len),
+            in_specs=[
+                pl.BlockSpec((tp, d), lambda fi, a, act: (0, 0)),
+                pl.BlockSpec((1, d // 2, bf), lambda fi, a, act: (act[a], 0, fi)),
+                pl.BlockSpec((1, 1, bf), lambda fi, a, act: (act[a], 0, fi)),
+                pl.BlockSpec((1, d // 2, bf), lambda fi, a, act: (act[a], 0, fi)),
+                pl.BlockSpec((1, 1, bf), lambda fi, a, act: (act[a], 0, fi)),
+                pl.BlockSpec((1, bf, d // 2), lambda fi, a, act: (act[a], fi, 0)),
+                pl.BlockSpec((1, 1, d), lambda fi, a, act: (act[a], 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, tp, d), lambda fi, a, act: (a, 0, 0)),
+            scratch_shapes=[pltpu.VMEM((a_len, tp, d), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((a_len, tp, d), x.dtype),
+    )(act, x_pad, qparams["w_gate"], qparams["w_gate_scale"],
+      qparams["w_up"], qparams["w_up_scale"],
+      qparams["w_down"], qparams["w_down_scale"])
+    out = jnp.einsum("at,atd->td", m, y[:, :t].astype(jnp.float32))
+    return out.astype(x.dtype)

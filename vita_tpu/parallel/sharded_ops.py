@@ -169,19 +169,9 @@ def sharded_flash_mha(
     )(q, k, v, kv_len, q_offset)
 
 
-def _sort_pairs_by_expert(topk_idx: jnp.ndarray):
-    """Flatten [T, k] -> sorted flat pair order (and its inverse) so equal
-    experts are adjacent: consecutive Pallas grid rows then map to the same
-    weight block and the pipeline skips the duplicate HBM fetch."""
-    t, k = topk_idx.shape
-    flat = topk_idx.reshape(t * k)
-    order = jnp.argsort(flat, stable=True)
-    inv = jnp.argsort(order)
-    return flat, order, inv
-
-
 def sharded_gather_ffn(
     x: jnp.ndarray,  # [T, D]
+    topk_w: jnp.ndarray,  # [T, k] combine weights (float)
     topk_idx: jnp.ndarray,  # [T, k] per-layer expert ids in [0, E)
     moe_stacked: Dict[str, jnp.ndarray],  # leaves [L, E, ...] (+ scales), no router
     layer_idx: int,
@@ -189,76 +179,70 @@ def sharded_gather_ffn(
     mode: str,  # 'gather' | 'gather_q' | 'gather_q4'
     mesh: Optional[Mesh] = None,
 ) -> jnp.ndarray:
-    """EP-sharded selected-expert FFN: returns [T, k, D] per-pair outputs.
+    """EP-sharded selected-expert FFN: returns the WEIGHTED output [T, D].
 
     Weights stay in their stacked [L, E, ...] layout sharded over 'expert';
     each shard flattens its local slice to the [L*E_local, ...] layout the
-    gather kernels index (models/mixtral.py decode path), computes the
-    pairs routed to local experts (others clamped + masked to zero), and
-    the partial outputs psum over the expert axis.
+    decode kernels index (models/mixtral.py decode path), zeroes the
+    routing weights of non-local pairs (their ids clamped into local
+    range), runs the masked active-expert kernel — every unique LOCAL
+    expert's weights stream from HBM once for the whole batch — and the
+    weighted partials psum over the expert axis. Bitwise-matches the
+    single-chip combine off-TPU: every pair lands on exactly one shard, so
+    the psum adds the same two bf16 operands the single-chip k-sum adds.
     """
     from vita_tpu.ops.moe_decode import (
-        gather_expert_ffn,
-        gather_expert_ffn_q,
-        gather_expert_ffn_q4,
+        masked_expert_ffn,
+        masked_expert_ffn_q,
+        masked_expert_ffn_q4,
     )
 
     ep = _axis(mesh, EXPERT)
-    t, k = topk_idx.shape
 
-    def run_local(x_s, idx_rows, weights):
-        """idx_rows: [T*k] local flat (layer*E_local + e_loc) indices,
-        already expert-sorted; rows with e out of range are clamped and
-        masked by the caller (all index translation happens there)."""
+    def run_local(x_s, w_s, idx_s, weights, e_count):
         flat = {
             name: w.reshape((w.shape[0] * w.shape[1],) + w.shape[2:])
             for name, w in weights.items()
         }
-        idx2 = idx_rows.reshape(t * k, 1)  # kernel wants [T, k]
         if mode == "gather_q4":
-            return gather_expert_ffn_q4(x_s, idx2, flat)
+            return masked_expert_ffn_q4(x_s, w_s, idx_s, flat,
+                                        n_experts=e_count)
         if mode == "gather_q":
-            return gather_expert_ffn_q(x_s, idx2, flat)
-        return gather_expert_ffn(
-            x_s, idx2, flat["w_gate"], flat["w_up"], flat["w_down"]
+            return masked_expert_ffn_q(x_s, w_s, idx_s, flat,
+                                       n_experts=e_count)
+        return masked_expert_ffn(
+            x_s, w_s, idx_s, flat["w_gate"], flat["w_up"], flat["w_down"],
+            n_experts=e_count,
         )
 
     if ep == 1:
-        # single shard: still sort pairs so duplicate experts in a batch
-        # fetch their weight blocks once
-        flat, order, inv = _sort_pairs_by_expert(topk_idx)
-        x_rows = jnp.repeat(x, k, axis=0)[order]
-        idx_rows = flat[order] + layer_idx * n_experts
-        out = run_local(x_rows, idx_rows, moe_stacked)
-        return out.reshape(t * k, -1)[inv].reshape(t, k, x.shape[-1])
+        idx = topk_idx + layer_idx * n_experts
+        return run_local(x, topk_w, idx, moe_stacked, n_experts)
 
     if n_experts % ep:
         raise ValueError(f"{n_experts} experts not divisible by expert axis {ep}")
     e_local = n_experts // ep
 
-    def f(x, topk_idx, *leaves):
+    def f(x, topk_w, topk_idx, *leaves):
         weights = dict(zip(names, leaves))
         r = jax.lax.axis_index(EXPERT)
         e0 = r * e_local
-        flat, order, inv = _sort_pairs_by_expert(topk_idx)
-        e_sorted = flat[order]
-        local = (e_sorted >= e0) & (e_sorted < e0 + e_local)
-        e_loc = jnp.clip(e_sorted - e0, 0, e_local - 1)
-        x_rows = jnp.repeat(x, k, axis=0)[order]
-        idx_rows = e_loc + layer_idx * e_local
-        out = run_local(x_rows, idx_rows, weights)
-        out = out.reshape(t * k, -1) * local[:, None].astype(out.dtype)
-        out = out[inv].reshape(t, k, x.shape[-1])
+        local = (topk_idx >= e0) & (topk_idx < e0 + e_local)
+        idx_loc = (
+            jnp.clip(topk_idx - e0, 0, e_local - 1) + layer_idx * e_local
+        )
+        w_loc = topk_w * local.astype(topk_w.dtype)
+        out = run_local(x, w_loc, idx_loc, weights, e_local)
         return jax.lax.psum(out, EXPERT)
 
     names = sorted(moe_stacked)
     wspec = P(None, EXPERT)
     return jax.shard_map(
         f, mesh=mesh,
-        in_specs=(P(), P()) + tuple(wspec for _ in names),
+        in_specs=(P(), P(), P()) + tuple(wspec for _ in names),
         out_specs=P(),
         axis_names={EXPERT},
-    )(x, topk_idx, *[moe_stacked[n] for n in names])
+    )(x, topk_w, topk_idx, *[moe_stacked[n] for n in names])
 
 
 def sharded_gmm_ffn(
