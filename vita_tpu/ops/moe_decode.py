@@ -480,6 +480,30 @@ MASKED_MIN_T = 4
 MASKED_MIN_T_Q4 = 8
 
 
+def _sorted_pair_gather(x, topk_idx, run):
+    """Run a per-(token, k)-row gather kernel with the flattened pairs
+    sorted by expert id, then inverse-permute back to [T, k, D].
+
+    Duplicate experts across a batch land on adjacent grid rows so the
+    Pallas pipeline elides the repeated weight-block fetch (the masked
+    kernels do this structurally; this recovers the win for batch sizes
+    outside their [MASKED_MIN_T, MASKED_MAX_T] window). Outputs are
+    bit-identical to the unsorted call — each pair's FFN is computed
+    against the same weights either way."""
+    t, k = topk_idx.shape
+    flat = topk_idx.reshape(t * k)
+    order = jnp.argsort(flat, stable=True)
+    inv = jnp.argsort(order)
+    x_rows = jnp.repeat(x, k, axis=0)[order]
+    out = run(x_rows, flat[order][:, None])  # [T*k, 1, D]
+    return out.reshape(t * k, -1)[inv].reshape(t, k, x.shape[-1])
+
+
+def _gather_combine(eo, topk_w, x):
+    out = jnp.sum(eo * topk_w[..., None].astype(x.dtype), axis=1)
+    return out.astype(x.dtype)
+
+
 def _active_expert_plan(topk_w, topk_idx, n_experts: int):
     """(act [A] int32, m [A, T] f32) for A = min(T*k, n_experts).
 
@@ -562,11 +586,15 @@ def masked_expert_ffn(
     t, d = x.shape
     if _use_xla_fallback() or t > MASKED_MAX_T or t < MASKED_MIN_T:
         # gather_expert_ffn picks the Pallas per-row kernel on TPU and the
-        # XLA twin elsewhere
-        eo = gather_expert_ffn(x, topk_idx, w_gate, w_up, w_down,
-                               block_f=block_f)
-        out = jnp.sum(eo * topk_w[..., None].astype(x.dtype), axis=1)
-        return out.astype(x.dtype)
+        # XLA twin elsewhere; sort pairs by expert on TPU so duplicate
+        # experts across the batch fetch their weight blocks once
+        run = lambda xr, ir: gather_expert_ffn(xr, ir, w_gate, w_up, w_down,
+                                               block_f=block_f)
+        if _use_xla_fallback() or t < 2:
+            eo = run(x, topk_idx)
+        else:
+            eo = _sorted_pair_gather(x, topk_idx, run)
+        return _gather_combine(eo, topk_w, x)
     k = topk_idx.shape[1]
     _, _, f = w_gate.shape
     bf = min(block_f, f)
@@ -649,9 +677,13 @@ def masked_expert_ffn_q(
 ) -> jnp.ndarray:
     t, d = x.shape
     if _use_xla_fallback() or t > MASKED_MAX_T or t < MASKED_MIN_T:
-        eo = gather_expert_ffn_q(x, topk_idx, qparams, block_f=block_f)
-        out = jnp.sum(eo * topk_w[..., None].astype(x.dtype), axis=1)
-        return out.astype(x.dtype)
+        run = lambda xr, ir: gather_expert_ffn_q(xr, ir, qparams,
+                                                 block_f=block_f)
+        if _use_xla_fallback() or t < 2:
+            eo = run(x, topk_idx)
+        else:
+            eo = _sorted_pair_gather(x, topk_idx, run)
+        return _gather_combine(eo, topk_w, x)
     _, _, f = qparams["w_gate"].shape
     bf = min(block_f, f)
     nf = (f + bf - 1) // bf
@@ -746,9 +778,13 @@ def masked_expert_ffn_q4(
     )
     if (_use_xla_fallback() or t > MASKED_MAX_T or t < MASKED_MIN_T_Q4
             or grouped):
-        eo = gather_expert_ffn_q4(x, topk_idx, qparams, block_f=block_f)
-        out = jnp.sum(eo * topk_w[..., None].astype(x.dtype), axis=1)
-        return out.astype(x.dtype)
+        run = lambda xr, ir: gather_expert_ffn_q4(xr, ir, qparams,
+                                                  block_f=block_f)
+        if _use_xla_fallback() or t < 2:
+            eo = run(x, topk_idx)
+        else:
+            eo = _sorted_pair_gather(x, topk_idx, run)
+        return _gather_combine(eo, topk_w, x)
     _, _, f = qparams["w_gate"].shape  # [E, D/2, F]
     bf = min(block_f, f)
     nf = (f + bf - 1) // bf

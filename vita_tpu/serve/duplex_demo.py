@@ -144,8 +144,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                       devices=jax.devices()[i * per:(i + 1) * per])
             for i in range(2)
         ]
+    # decode_ticks=1 keeps token delivery smooth for TTS pacing and barge-in
     engines = [Engine(params, cfg, n_slots=2, max_len=args.max_len, seed=i,
-                      mesh=meshes[i])
+                      mesh=meshes[i], decode_ticks=1)
                for i in range(2)]
 
     # multi-turn context: each utterance carries the session's past audio

@@ -91,9 +91,13 @@ class DuplexWebApp:
         self.encode = encode
         self.decode = decode
         self.bos_id = bos_id
+        # decode_ticks=1: duplex interactivity needs per-chunk streaming —
+        # TTS pacing and barge-in (cancel_all) latency degrade when tokens
+        # arrive in bursts of decode_ticks*chunk_len (see engine.py multi-tick
+        # dispatch note).
         self.engines = [
             Engine(params, cfg, n_slots=2, max_len=max_len, seed=i,
-                   mesh=meshes[i])
+                   mesh=meshes[i], decode_ticks=1)
             for i in range(2)
         ]
         self.session = ChatSession(limit=history_limit)
