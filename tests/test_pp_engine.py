@@ -200,3 +200,118 @@ def test_pp_engine_validations(tiny4, pp2_mesh):
     with pytest.raises(ValueError, match="not divisible by pipe"):
         Engine(vita.init_params(jax.random.PRNGKey(0), bad), bad,
                n_slots=2, max_len=64, mesh=pp2_mesh)
+
+
+# ----------------------------------------------------------------------
+# PP composed with TP / EP (VERDICT r4 missing item 1): the reference's
+# vLLM stack runs PP stages made OF TP parallel linears
+# (web_demo/vllm_tools/vllm_file/mixtral.py:592-628 over :461-476 with
+# tensor_parallel_size=2). The pp_serving programs are manual over 'pipe'
+# only; GSPMD keeps model/expert sharding inside each stage and the
+# Pallas kernels run as nested shard_map islands (parallel/sharded_ops).
+# ----------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def pp2_tp2_mesh():
+    return make_mesh(shape=(1, 1, 1, 2, 2, 1), devices=jax.devices()[:4])
+
+
+@pytest.fixture(scope="module")
+def pp2_ep2_mesh():
+    return make_mesh(shape=(1, 1, 2, 1, 2, 1), devices=jax.devices()[:4])
+
+
+@pytest.mark.parametrize("decode_moe_mode", ["dense", "gather"])
+def test_pp_tp_composed_token_identical(tiny4, pp2_tp2_mesh, decode_moe_mode):
+    """pipe=2 x model=2: paged pool sharded on layer x kv-head dims."""
+    cfg, params = tiny4
+
+    def toks(mesh):
+        req = Request(input_ids=PROMPT, max_new_tokens=10, eos_id=-1)
+        _run(cfg, params, mesh, [req], n_slots=2, max_len=64,
+             decode_moe_mode=decode_moe_mode)
+        return req.tokens
+
+    ref = toks(None)
+    assert len(ref) == 10
+    assert toks(pp2_tp2_mesh) == ref
+
+
+@pytest.mark.parametrize("decode_moe_mode", ["dense", "gather"])
+def test_pp_ep_composed_token_identical(tiny4, pp2_ep2_mesh, decode_moe_mode):
+    """pipe=2 x expert=2: each stage's expert weights EP-sharded; the
+    gather decode runs sharded_gather_ffn islands inside the ring."""
+    cfg, params = tiny4
+
+    def toks(mesh):
+        req = Request(input_ids=PROMPT, max_new_tokens=10, eos_id=-1)
+        _run(cfg, params, mesh, [req], n_slots=2, max_len=64,
+             decode_moe_mode=decode_moe_mode)
+        return req.tokens
+
+    ref = toks(None)
+    assert toks(pp2_ep2_mesh) == ref
+
+
+@pytest.mark.slow
+def test_pp_tp_ep_composed_quantized(tiny4):
+    """pipe=2 x model=2 x expert=2 (all 8 devices) with int8 gather decode:
+    the full composition the engine previously rejected."""
+    cfg, params = tiny4
+    mesh = make_mesh(shape=(1, 1, 2, 2, 2, 1), devices=jax.devices()[:8])
+
+    def toks(m):
+        req = Request(input_ids=PROMPT, max_new_tokens=8, eos_id=-1)
+        _run(cfg, params, m, [req], n_slots=2, max_len=64,
+             decode_moe_mode="gather_q")
+        return req.tokens
+
+    assert toks(mesh) == toks(None)
+
+
+def test_pp_tp_composed_multi_request_sampling(tiny4, pp2_tp2_mesh):
+    """Two concurrent requests (one greedy, one sampled) through the
+    composed mesh: greedy stream token-identical to single-chip, sampled
+    stream deterministic across runs with the same seed."""
+    cfg, params = tiny4
+    p2 = np.array([1, 11, 61, 71, 81], np.int32)
+
+    def run_pair(mesh, seed=3):
+        r1 = Request(input_ids=PROMPT, max_new_tokens=8, eos_id=-1)
+        r2 = Request(input_ids=p2, max_new_tokens=8, eos_id=-1,
+                     temperature=0.9, top_k=8, top_p=0.9)
+        _run(cfg, params, mesh, [r1, r2], n_slots=2, max_len=64, seed=seed)
+        return r1.tokens, r2.tokens
+
+    g_ref, _ = run_pair(None)
+    g1, s1 = run_pair(pp2_tp2_mesh)
+    g2, s2 = run_pair(pp2_tp2_mesh)
+    assert g1 == g_ref
+    assert (g1, s1) == (g2, s2)
+    assert len(s1) == 8
+
+
+@pytest.mark.slow
+def test_pp_sync_two_lifecycles_token_identical(tiny4):
+    """Regression guard for the off-TPU overlapped-PP corruption
+    (tools/repro_pp_overlap.py): pipe=4, one request, TWO sequential
+    engine lifecycles in one process — the exact scenario that corrupts
+    at a chunk-boundary token when `_pp_sync` serialization is disabled
+    (donated-pool buffer reuse across lifecycles under async dispatch).
+    With the serialization (the default off-TPU) both lifecycles must be
+    token-identical to the single-chip engine."""
+    cfg, params = tiny4
+    mesh = make_mesh(shape=(1, 1, 1, 1, 4, 1), devices=jax.devices()[:4])
+    prompt = np.array([1, 50, 60, 70, 80, 90], np.int32)
+
+    def toks(m):
+        req = Request(input_ids=prompt, max_new_tokens=48, eos_id=-1)
+        eng = Engine(params, cfg, n_slots=4, max_len=128, mesh=m,
+                     decode_ticks=4, decode_inflight=2)
+        assert m is None or eng._pp_sync  # serialization on (CPU backend)
+        eng.submit(req)
+        eng.run_until_idle()
+        return req.tokens
+
+    ref = toks(None)
+    assert toks(mesh) == ref  # lifecycle 1
+    assert toks(mesh) == ref  # lifecycle 2 (the corrupting one unserialized)

@@ -46,6 +46,7 @@ from vita_tpu.models.mixtral import (
 )
 from vita_tpu.ops.moe import load_balancing_loss, moe_ffn, route_topk
 from vita_tpu.ops.norms import rms_norm
+from vita_tpu.parallel.mesh import EXPERT, MODEL
 from vita_tpu.parallel.pipeline import PIPE
 
 Params = Dict[str, Any]
@@ -53,6 +54,10 @@ Params = Dict[str, Any]
 
 def _vary(a):
     return jax.lax.pcast(a, (PIPE,), to="varying")
+
+
+def _axis(mesh, name: str) -> int:
+    return int(mesh.shape[name]) if name in mesh.shape else 1
 
 
 # ----------------------------------------------------------------------
@@ -101,8 +106,13 @@ def pp_prefill_chunk(
                 xx = carry
                 lp, ck, cv = inp
                 h = rms_norm(xx, lp["ln_attn"], llm.rms_eps)
+                # mesh passes through so flash attention runs as a nested
+                # 'model' shard_map island inside the pipe-manual region
+                # (PP x TP composition; dense MoE below auto-partitions
+                # over 'expert'/'model' via GSPMD on the non-manual axes)
                 attn_out, nk, nv = _attention_block(
                     lp["attn"], llm, h, positions, valid, ck, cv, cache_pos,
+                    mesh=mesh,
                 )
                 xx = xx + attn_out
                 h = rms_norm(xx, lp["ln_moe"], llm.rms_eps)
@@ -214,6 +224,8 @@ def pp_decode_chunk(
         "embed": llm_params["embed"],
     }
 
+    ep = _axis(mesh, EXPERT)
+
     def ring_fn(lp_local, head, kp, vp, table, pos, active, temps, topks,
                 topps, x0, subkeys):
         stage = jax.lax.axis_index(PIPE)
@@ -221,13 +233,15 @@ def pp_decode_chunk(
         # local flat expert views for the gather decode kernels (same
         # invariant as mixtral.pp_decode_greedy: kernels never consume
         # scan-sliced stacked weights — flat [L/S * E, ...] metadata
-        # reshapes with group ids li*E + topk)
+        # reshapes with group ids li*E + topk). When the mesh also has an
+        # 'expert' axis (PP x EP composition), the stage's local stacked
+        # weights instead feed sharded_gather_ffn, which opens a nested
+        # EXPERT-manual island per layer and psums the partials.
         if gather_mode:
             moe = lp_local["moe"]
-            flat = {
-                k: v.reshape((-1,) + v.shape[2:])
-                for k, v in moe.items()
-                if k != "router"
+            moe_nr = {k: v for k, v in moe.items() if k != "router"}
+            flat = None if ep > 1 else {
+                k: v.reshape((-1,) + v.shape[2:]) for k, v in moe_nr.items()
             }
             n_local = moe["router"].shape[0]
             scan_layers = {
@@ -237,7 +251,7 @@ def pp_decode_chunk(
                 "router": moe["router"],
             }
         else:
-            flat = None
+            flat = moe_nr = None
             n_local = jax.tree.leaves(lp_local)[0].shape[0]
             scan_layers = lp_local
         lids = jnp.arange(n_local, dtype=jnp.int32)
@@ -247,9 +261,12 @@ def pp_decode_chunk(
                 x, kp, vp = carry
                 lp, li = inp
                 h = rms_norm(x, lp["ln_attn"], llm_cfg.rms_eps)
+                # mesh: paged attention + kv writes run as nested 'model'
+                # shard_map islands inside the pipe-manual region (the pool
+                # arrives sharded over pipe x model — PP x TP composition)
                 attn_out, kp, vp = _attention_block_paged(
                     lp["attn"], llm_cfg, h, pos_w[:, None], kp, vp,
-                    table_w, pos_w, act_w, li,
+                    table_w, pos_w, act_w, li, mesh=mesh,
                 )
                 x = x + attn_out
                 h = rms_norm(x, lp["ln_moe"], llm_cfg.rms_eps)
@@ -266,19 +283,34 @@ def pp_decode_chunk(
                         lp["router"].astype(jnp.float32),
                     )
                     topk_w, topk_i, _ = route_topk(router_logits, llm_cfg.top_k)
-                    idx = topk_i + li * llm_cfg.n_experts
-                    if llm_cfg.moe_mode == "gather_q4":
-                        eo = gather_expert_ffn_q4(h2d, idx, flat)
-                    elif llm_cfg.moe_mode == "gather_q":
-                        eo = gather_expert_ffn_q(h2d, idx, flat)
-                    else:
-                        eo = gather_expert_ffn(
-                            h2d, idx, flat["w_gate"], flat["w_up"],
-                            flat["w_down"],
+                    if ep > 1:
+                        # PP x EP: the stage's stacked expert weights are
+                        # additionally sharded over 'expert'; the wrapper
+                        # zeroes non-local pairs, runs the local kernel and
+                        # psums — li (local layer id) is traced, which the
+                        # wrapper's index arithmetic supports
+                        from vita_tpu.parallel.sharded_ops import (
+                            sharded_gather_ffn,
                         )
-                    moe_out = jnp.sum(
-                        eo * topk_w[..., None].astype(h2d.dtype), axis=1
-                    ).astype(x.dtype)
+
+                        moe_out = sharded_gather_ffn(
+                            h2d, topk_w, topk_i, moe_nr, li,
+                            llm_cfg.n_experts, llm_cfg.moe_mode, mesh=mesh,
+                        ).astype(x.dtype)
+                    else:
+                        idx = topk_i + li * llm_cfg.n_experts
+                        if llm_cfg.moe_mode == "gather_q4":
+                            eo = gather_expert_ffn_q4(h2d, idx, flat)
+                        elif llm_cfg.moe_mode == "gather_q":
+                            eo = gather_expert_ffn_q(h2d, idx, flat)
+                        else:
+                            eo = gather_expert_ffn(
+                                h2d, idx, flat["w_gate"], flat["w_up"],
+                                flat["w_down"],
+                            )
+                        moe_out = jnp.sum(
+                            eo * topk_w[..., None].astype(h2d.dtype), axis=1
+                        ).astype(x.dtype)
                 else:
                     moe_out, _ = moe_ffn(
                         lp["moe"], h2d, llm_cfg.top_k, mode=llm_cfg.moe_mode,
