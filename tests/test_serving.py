@@ -1007,3 +1007,100 @@ def test_multi_tick_defers_to_pending_prefill(tiny):
             break
     eng.run_until_idle()
     assert len(a.tokens) == 40 and len(b.tokens) == 4
+
+
+# ----------------------------------------------------------------------
+# Lazy KV page growth + preemption (VERDICT r4 item 6 — vLLM scheduler
+# semantics, SURVEY §2.4 row 2): admission reserves only the prompt's
+# pages, decode pages grow per chunk, and under pool pressure the engine
+# evicts prefix caches then preempts the newest request
+# (recompute-on-resume), never deadlocking FIFO.
+# ----------------------------------------------------------------------
+def test_lazy_growth_pool_pressure_token_identical(tiny):
+    """Pool SMALLER than the sum of worst-case reservations: every request
+    still finishes, greedy streams token-identical to the unconstrained
+    engine, preemptions observed, all pages returned."""
+    cfg, params = tiny
+
+    def run(total_pages):
+        eng = Engine(params, cfg, n_slots=4, max_len=256, page_size=16,
+                     total_pages=total_pages, decode_moe_mode="dense")
+        reqs = [
+            Request(input_ids=np.arange(2 + i, 34 + i, dtype=np.int32),
+                    max_new_tokens=40, eos_id=-1)
+            for i in range(4)
+        ]
+        for r in reqs:
+            eng.submit(r)
+        eng.run_until_idle()
+        return [r.tokens for r in reqs], eng
+
+    # worst case: 4 * ceil((32+40)/16) = 20 pages; give 12
+    ref, eng0 = run(64)
+    got, eng = run(12)
+    assert eng0.stats()["preemptions"] == 0
+    assert eng.stats()["preemptions"] > 0
+    assert got == ref
+    assert all(len(t) == 40 for t in got)
+    assert eng.alloc.free_count == 12  # conservation under preemption
+
+
+def test_lazy_growth_admits_beyond_worst_case(tiny):
+    """With lazy allocation, concurrency is bounded by actual usage: a
+    pool that holds only ONE worst-case reservation still runs two
+    requests simultaneously when their real usage fits."""
+    cfg, params = tiny
+    # each worst case: ceil((16+60)/8) = 10 pages > pool/2 = 6, so the old
+    # reserve-at-admit engine would SERIALIZE these two requests; lazy
+    # growth runs them together (2 prompt pages each at admission)
+    eng = Engine(params, cfg, n_slots=2, max_len=128, page_size=8,
+                 total_pages=12, decode_moe_mode="dense")
+    active_together = []
+    reqs = [
+        Request(input_ids=np.arange(2 + i, 18 + i, dtype=np.int32),
+                max_new_tokens=60, eos_id=-1)
+        for i in range(2)
+    ]
+    for r in reqs:
+        eng.submit(r)
+    for _ in range(2000):
+        eng.step()
+        active_together.append(eng.active_count())
+        if (eng.active_count() == 0 and not eng._prefill_jobs
+                and not eng._inflight and eng.queue.empty()
+                and not eng._pending):
+            break
+    assert max(active_together) == 2
+    assert all(len(r.tokens) == 60 for r in reqs)
+    assert eng.alloc.free_count == 12
+
+
+def test_preempt_resume_with_sessions_and_streaming(tiny):
+    """Preempted requests keep their already-streamed tokens and resume
+    seamlessly; per-token callbacks never observe a gap or repeat."""
+    cfg, params = tiny
+    streams = [[] for _ in range(3)]
+    eng = Engine(params, cfg, n_slots=3, max_len=256, page_size=16,
+                 total_pages=9, decode_moe_mode="dense")
+    reqs = [
+        Request(input_ids=np.arange(2 + i, 34 + i, dtype=np.int32),
+                max_new_tokens=30, eos_id=-1,
+                on_token=streams[i].append)
+        for i in range(3)
+    ]
+    for r in reqs:
+        eng.submit(r)
+    eng.run_until_idle()
+    assert eng.stats()["preemptions"] > 0
+    for r, s in zip(reqs, streams):
+        assert s == r.tokens  # streamed == final, no repeats/drops
+        assert len(s) == 30
+
+
+def test_submit_rejects_worst_case_beyond_pool(tiny):
+    cfg, params = tiny
+    eng = Engine(params, cfg, n_slots=1, max_len=256, page_size=16,
+                 total_pages=3)
+    with pytest.raises(ValueError, match="worst-case KV"):
+        eng.submit(Request(input_ids=np.arange(2, 34, dtype=np.int32),
+                           max_new_tokens=100, eos_id=-1))

@@ -293,8 +293,13 @@ def _attention_block_paged(
     active: Optional[jnp.ndarray],  # [B] bool or None
     layer_idx: int,
     mesh=None,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Decode attention against the paged KV pool (ops.paged_attention)."""
+    k_scale: Optional[jnp.ndarray] = None,  # int8 pool scales (kv_int8)
+    v_scale: Optional[jnp.ndarray] = None,
+):
+    """Decode attention against the paged KV pool (ops.paged_attention).
+
+    Returns (out, k_pages, v_pages[, k_scale, v_scale]) — the scale arrays
+    ride along when the pool is int8-quantized."""
     from vita_tpu.parallel.sharded_ops import (
         sharded_paged_attention,
         sharded_write_kv_rows,
@@ -309,18 +314,26 @@ def _attention_block_paged(
     v = (x @ lp["wv"]).reshape(b, s, hkv, hd)
     q, k = apply_rope(q, k, positions, cfg.rope_theta)
     layer = jnp.int32(layer_idx)
-    k_pages, v_pages = sharded_write_kv_rows(
+    quant = k_scale is not None
+    wrote = sharded_write_kv_rows(
         k_pages, v_pages, layer, table, pos, k[:, 0], v[:, 0], active,
-        mesh=mesh,
+        mesh=mesh, k_scale=k_scale, v_scale=v_scale,
     )
+    if quant:
+        k_pages, v_pages, k_scale, v_scale = wrote
+    else:
+        k_pages, v_pages = wrote
     lengths = pos + 1
     if active is not None:
         lengths = jnp.where(active, lengths, 0)
+    q_dt = x.dtype if quant else k_pages.dtype
     out = sharded_paged_attention(
-        q[:, 0].astype(k_pages.dtype), k_pages, v_pages, table, lengths,
-        layer, mesh=mesh,
+        q[:, 0].astype(q_dt), k_pages, v_pages, table, lengths,
+        layer, mesh=mesh, k_scale=k_scale, v_scale=v_scale,
     ).astype(x.dtype)
     out = out.reshape(b, s, hq * hd) @ lp["wo"]
+    if quant:
+        return out, k_pages, v_pages, k_scale, v_scale
     return out, k_pages, v_pages
 
 
@@ -537,6 +550,7 @@ def forward(
             pages_k, pages_v = cache["k_pages"], cache["v_pages"]
             table, ppos = cache["table"], cache["pos"]
             pactive = cache.get("active")
+            pages_ks, pages_vs = cache.get("k_scale"), cache.get("v_scale")
         n_layers = cfg.n_layers if stacked else len(layers)
         for i in range(n_layers):
             if stacked:
@@ -555,10 +569,15 @@ def forward(
                 lp = layers[i]
             h = rms_norm(x, lp["ln_attn"], cfg.rms_eps)
             if paged:
-                attn_out, pages_k, pages_v = _attention_block_paged(
+                got = _attention_block_paged(
                     lp["attn"], cfg, h, positions, pages_k, pages_v,
                     table, ppos, pactive, i, mesh=mesh,
+                    k_scale=pages_ks, v_scale=pages_vs,
                 )
+                if pages_ks is not None:
+                    attn_out, pages_k, pages_v, pages_ks, pages_vs = got
+                else:
+                    attn_out, pages_k, pages_v = got
             else:
                 ck = cache["k"][i] if cache is not None else None
                 cv = cache["v"][i] if cache is not None else None
@@ -632,6 +651,8 @@ def forward(
         new_cache = dict(cache)
         new_cache.update({"k_pages": pages_k, "v_pages": pages_v,
                           "pos": cache["pos"] + s})
+        if pages_ks is not None:
+            new_cache.update({"k_scale": pages_ks, "v_scale": pages_vs})
     elif cache is not None:
         new_cache = {"k": new_kv[0], "v": new_kv[1], "pos": cache["pos"] + s}
     return logits, new_cache, aux_total / cfg.n_layers

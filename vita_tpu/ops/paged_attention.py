@@ -42,10 +42,25 @@ def init_page_pool(
     page_size: int,
     head_dim: int,
     dtype=jnp.float32,
+    quantized: bool = False,
 ):
-    """Device-side page pool: {'k_pages','v_pages'} [L, Hkv, P, page, d]."""
+    """Device-side page pool: {'k_pages','v_pages'} [L, Hkv, P, page, d].
+
+    ``quantized=True`` stores int8 pages plus per-row/per-head f32 scales
+    ('k_scale'/'v_scale' [L, Hkv, P, 1, page]) — the KV-capacity lever:
+    ~1.94x more tokens per byte of pool HBM (beyond-reference; vLLM-class
+    fp8/int8 kv_cache_dtype)."""
     shape = (n_layers, n_kv_heads, n_pages, page_size, head_dim)
-    return {"k_pages": jnp.zeros(shape, dtype), "v_pages": jnp.zeros(shape, dtype)}
+    if not quantized:
+        return {"k_pages": jnp.zeros(shape, dtype),
+                "v_pages": jnp.zeros(shape, dtype)}
+    sshape = (n_layers, n_kv_heads, n_pages, 1, page_size)
+    return {
+        "k_pages": jnp.zeros(shape, jnp.int8),
+        "v_pages": jnp.zeros(shape, jnp.int8),
+        "k_scale": jnp.zeros(sshape, jnp.float32),
+        "v_scale": jnp.zeros(sshape, jnp.float32),
+    }
 
 
 class PagePool:
@@ -171,7 +186,8 @@ def _paged_attn_kernel(
         o_ref[0, 0] = (acc / l_safe).astype(o_ref.dtype)
 
 
-def _paged_attention_xla(q, k_pages, v_pages, tables, lengths, layer, scale):
+def _paged_attention_xla(q, k_pages, v_pages, tables, lengths, layer, scale,
+                         k_scale=None, v_scale=None):
     """Reference/fallback path (non-TPU backends): gather the slot's pages
     and run dense masked attention. Same math as the kernel; used for CPU
     tests and development where the Mosaic DMA interpreter is unavailable."""
@@ -187,6 +203,13 @@ def _paged_attention_xla(q, k_pages, v_pages, tables, lengths, layer, scale):
     s_len = t.shape[1] * page_size
     k = k.reshape(hkv, b, s_len, d)
     v = v.reshape(hkv, b, s_len, d)
+    if k_scale is not None:  # int8 pool: dequantize per row/head
+        ks = jax.lax.dynamic_index_in_dim(k_scale, layer, 0, keepdims=False)
+        vs = jax.lax.dynamic_index_in_dim(v_scale, layer, 0, keepdims=False)
+        ks = ks[:, t].reshape(hkv, b, s_len)  # [Hkv,B,maxp,1,page] gathered
+        vs = vs[:, t].reshape(hkv, b, s_len)
+        k = k.astype(jnp.float32) * ks[..., None]
+        v = v.astype(jnp.float32) * vs[..., None]
     qg = q.reshape(b, hkv, group, d).astype(jnp.float32) * scale
     s = jnp.einsum("bhgd,hbsd->bhgs", qg, k.astype(jnp.float32))
     mask = jnp.arange(s_len)[None, :] < lengths[:, None]  # [B, S]
@@ -202,12 +225,14 @@ def _paged_attention_xla(q, k_pages, v_pages, tables, lengths, layer, scale):
 
 def paged_attention(
     q: jnp.ndarray,  # [B, Hq, d] — one decode token per slot
-    k_pages: jnp.ndarray,  # [L, Hkv, P, page, d]
+    k_pages: jnp.ndarray,  # [L, Hkv, P, page, d] (bf16/f32 or int8)
     v_pages: jnp.ndarray,
     tables: jnp.ndarray,  # [B, max_pages] int32
     lengths: jnp.ndarray,  # [B] int32 valid kv rows (incl. current token)
     layer: jnp.ndarray,  # [] or [1] int32
     scale: Optional[float] = None,
+    k_scale: Optional[jnp.ndarray] = None,  # [L, Hkv, P, 1, page] f32 (int8 pool)
+    v_scale: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Paged decode attention. Returns [B, Hq, d]."""
     b, hq, d = q.shape
@@ -231,7 +256,7 @@ def paged_attention(
         return _paged_attention_xla(
             q, k_pages, v_pages, tables.astype(jnp.int32),
             lengths.astype(jnp.int32), jnp.asarray(layer, jnp.int32).reshape(()),
-            float(scale),
+            float(scale), k_scale, v_scale,
         )
     layer = jnp.asarray(layer, jnp.int32).reshape(1)
 
@@ -241,6 +266,39 @@ def paged_attention(
     qg = q.reshape(b, hkv, group, d)
     if g_pad != group:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, g_pad - group), (0, 0)))
+
+    if k_scale is not None:
+        kernel = functools.partial(
+            _paged_attn_kernel_q, page_size=page_size, scale=float(scale),
+            group=g_pad,
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=(b, hkv),
+                in_specs=[
+                    pl.BlockSpec((1, 1, g_pad, d), lambda s, h, *_: (s, h, 0, 0)),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, 1, g_pad, d), lambda s, h, *_: (s, h, 0, 0)
+                ),
+                scratch_shapes=[
+                    pltpu.VMEM((2, page_size, d), jnp.int8),
+                    pltpu.VMEM((2, page_size, d), jnp.int8),
+                    pltpu.VMEM((2, 1, page_size), jnp.float32),
+                    pltpu.VMEM((2, 1, page_size), jnp.float32),
+                    pltpu.SemaphoreType.DMA((4, 2)),
+                ],
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, hkv, g_pad, d), q.dtype),
+        )(layer, lengths.astype(jnp.int32), tables.astype(jnp.int32), qg,
+          k_pages, v_pages, k_scale, v_scale)
+        return out[:, :, :group].reshape(b, hq, d)
 
     kernel = functools.partial(
         _paged_attn_kernel, page_size=page_size, scale=float(scale), group=g_pad
@@ -267,9 +325,115 @@ def paged_attention(
     return out[:, :, :group].reshape(b, hq, d)
 
 
+def _paged_attn_kernel_q(
+    layer_ref,  # SMEM [1] layer index
+    lengths_ref,  # SMEM [B]
+    tables_ref,  # SMEM [B, max_pages]
+    q_ref,  # VMEM [1, 1, g_pad, d]
+    kp_hbm,  # ANY [L, Hkv, P, page, d] int8
+    vp_hbm,  # ANY int8
+    ks_hbm,  # ANY [L, Hkv, P, 1, page] f32
+    vs_hbm,  # ANY
+    o_ref,  # VMEM [1, 1, g_pad, d]
+    kbuf,  # VMEM [2, page, d] int8
+    vbuf,
+    ksbuf,  # VMEM [2, 1, page] f32
+    vsbuf,
+    sems,  # DMA sems [4, 2]
+    *,
+    page_size: int,
+    scale: float,
+    group: int,
+):
+    """int8-KV twin of _paged_attn_kernel: pages dequantize in VMEM via
+    per-row scales folded into the score/probability matrices (k scales
+    scale s columns; v scales fold into p before the pv matmul), so the
+    dequantized pages are never materialized."""
+    slot = pl.program_id(0)
+    kvh = pl.program_id(1)
+    layer = layer_ref[0]
+    length = lengths_ref[slot]
+    n_pages = jnp.minimum(
+        (length + page_size - 1) // page_size, tables_ref.shape[1]
+    )
+    n_pool = kp_hbm.shape[2]
+
+    def copy(src, buf, i, b, sem):
+        pid = jnp.minimum(tables_ref[slot, i], n_pool - 1)
+        return pltpu.make_async_copy(
+            src.at[layer, kvh, pid], buf.at[b], sems.at[sem, b]
+        )
+
+    o_ref[...] = jnp.zeros_like(o_ref)
+
+    @pl.when(n_pages > 0)
+    def _run():
+        for sem, (src, buf) in enumerate(
+            ((kp_hbm, kbuf), (vp_hbm, vbuf), (ks_hbm, ksbuf), (vs_hbm, vsbuf))
+        ):
+            copy(src, buf, 0, 0, sem).start()
+        q = q_ref[0, 0].astype(jnp.float32) * scale  # [g_pad, d]
+
+        def body(i, carry):
+            m, l, acc = carry
+            b = jax.lax.rem(i, 2)
+
+            @pl.when(i + 1 < n_pages)
+            def _prefetch():
+                nb = jax.lax.rem(i + 1, 2)
+                for sem, (src, buf) in enumerate(
+                    ((kp_hbm, kbuf), (vp_hbm, vbuf), (ks_hbm, ksbuf),
+                     (vs_hbm, vsbuf))
+                ):
+                    copy(src, buf, i + 1, nb, sem).start()
+
+            copy(kp_hbm, kbuf, i, b, 0).wait()
+            copy(ks_hbm, ksbuf, i, b, 2).wait()
+            k = kbuf[pl.ds(b, 1)][0]  # [page, d] int8
+            s = jax.lax.dot_general(
+                q, k.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [group, page]
+            s = s * ksbuf[pl.ds(b, 1)][0]  # fold k dequant into the scores
+            k_pos = i * page_size + jax.lax.broadcasted_iota(
+                jnp.int32, (group, page_size), 1
+            )
+            s = jnp.where(k_pos < length, s, NEG_INF)
+
+            m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m - m_new)
+            copy(vp_hbm, vbuf, i, b, 1).wait()
+            copy(vs_hbm, vsbuf, i, b, 3).wait()
+            v = vbuf[pl.ds(b, 1)][0]
+            l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+            pv = p * vsbuf[pl.ds(b, 1)][0]  # fold v dequant into p
+            acc = acc * alpha + jax.lax.dot_general(
+                pv, v.astype(jnp.float32), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return m_new, l, acc
+
+        d = q_ref.shape[-1]
+        m0 = jnp.full((group, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((group, 1), jnp.float32)
+        acc0 = jnp.zeros((group, d), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, n_pages, body, (m0, l0, acc0))
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc / l_safe).astype(o_ref.dtype)
+
+
 # ----------------------------------------------------------------------
 # page writes (XLA scatters)
 # ----------------------------------------------------------------------
+def _quantize_rows(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-(slot, head) symmetric int8: x [B, Hkv, d] -> (q, scale [B, Hkv])."""
+    xf = x.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1) / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
 def write_kv_rows(
     k_pages: jnp.ndarray,  # [L, Hkv, P, page, d]
     v_pages: jnp.ndarray,
@@ -279,9 +443,13 @@ def write_kv_rows(
     k_new: jnp.ndarray,  # [B, Hkv, d]
     v_new: jnp.ndarray,
     active: Optional[jnp.ndarray] = None,  # [B] bool; inactive rows dropped
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    k_scale: Optional[jnp.ndarray] = None,  # [L, Hkv, P, 1, page] f32
+    v_scale: Optional[jnp.ndarray] = None,
+):
     """Write one kv row per slot into its page. Out-of-range (inactive)
-    writes are dropped via scatter 'drop' mode."""
+    writes are dropped via scatter 'drop' mode. With scale arrays (int8
+    pool) the rows are quantized per (slot, head) and the scales scattered
+    alongside; returns 4 arrays then, 2 otherwise."""
     hkv = k_pages.shape[1]
     page_size = k_pages.shape[3]
     b = pos.shape[0]
@@ -304,6 +472,15 @@ def write_kv_rows(
     hi = jnp.broadcast_to(jnp.arange(hkv)[None, :], (b, hkv))
     pi = jnp.broadcast_to(page_id[:, None], (b, hkv))
     ri = jnp.broadcast_to(row[:, None], (b, hkv))
+    if k_scale is not None:
+        kq, ks = _quantize_rows(k_new)
+        vq, vs = _quantize_rows(v_new)
+        zi = jnp.zeros((b, hkv), jnp.int32)
+        k_pages = k_pages.at[li, hi, pi, ri].set(kq, mode="drop")
+        v_pages = v_pages.at[li, hi, pi, ri].set(vq, mode="drop")
+        k_scale = k_scale.at[li, hi, pi, zi, ri].set(ks, mode="drop")
+        v_scale = v_scale.at[li, hi, pi, zi, ri].set(vs, mode="drop")
+        return k_pages, v_pages, k_scale, v_scale
     k_pages = k_pages.at[li, hi, pi, ri].set(k_new.astype(k_pages.dtype), mode="drop")
     v_pages = v_pages.at[li, hi, pi, ri].set(v_new.astype(v_pages.dtype), mode="drop")
     return k_pages, v_pages
@@ -315,10 +492,14 @@ def install_prefill_pages(
     k_lin: jnp.ndarray,  # [L, 1, S, Hkv, d] prefill scratch (S page-multiple)
     v_lin: jnp.ndarray,
     page_ids: jnp.ndarray,  # [S / page] int32 destination pages
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    k_scale: Optional[jnp.ndarray] = None,  # [L, Hkv, P, 1, page] (int8 pool)
+    v_scale: Optional[jnp.ndarray] = None,
+):
     """Scatter a linear prefill cache into the page pool. Out-of-range page
     ids (>= pool size) are dropped — callers pad the id vector with OOB
-    entries to keep its shape static."""
+    entries to keep its shape static. With scale arrays (int8 pool) the
+    scratch rows are quantized per (row, head) on the way in; returns 4
+    arrays then, 2 otherwise."""
     n_layers, _, s, hkv, d = k_lin.shape
     page_size = k_pages.shape[3]
     n_pp = s // page_size
@@ -326,6 +507,21 @@ def install_prefill_pages(
     def to_pages(x):
         x = x[:, 0].transpose(0, 2, 1, 3)  # [L, Hkv, S, d]
         return x.reshape(n_layers, hkv, n_pp, page_size, d)
+
+    if k_scale is not None:
+        def qpages(x):
+            p = to_pages(x).astype(jnp.float32)
+            sc = jnp.maximum(jnp.max(jnp.abs(p), axis=-1) / 127.0, 1e-8)
+            q = jnp.clip(jnp.round(p / sc[..., None]), -127, 127)
+            return q.astype(jnp.int8), sc[:, :, :, None, :]  # [L,H,n,1,page]
+
+        kq, ks = qpages(k_lin)
+        vq, vs = qpages(v_lin)
+        k_pages = k_pages.at[:, :, page_ids].set(kq, mode="drop")
+        v_pages = v_pages.at[:, :, page_ids].set(vq, mode="drop")
+        k_scale = k_scale.at[:, :, page_ids].set(ks, mode="drop")
+        v_scale = v_scale.at[:, :, page_ids].set(vs, mode="drop")
+        return k_pages, v_pages, k_scale, v_scale
 
     k_pages = k_pages.at[:, :, page_ids].set(
         to_pages(k_lin).astype(k_pages.dtype), mode="drop"

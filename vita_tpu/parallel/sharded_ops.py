@@ -56,25 +56,40 @@ def sharded_paged_attention(
     lengths: jnp.ndarray,  # [B]
     layer: jnp.ndarray,
     mesh: Optional[Mesh] = None,
+    k_scale: Optional[jnp.ndarray] = None,  # [L, Hkv, P, 1, page] (int8 pool)
+    v_scale: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     from vita_tpu.ops.paged_attention import paged_attention
 
     tp = _axis(mesh, MODEL)
     if tp == 1:
-        return paged_attention(q, k_pages, v_pages, table, lengths, layer)
+        return paged_attention(q, k_pages, v_pages, table, lengths, layer,
+                               k_scale=k_scale, v_scale=v_scale)
     if q.shape[1] % tp or k_pages.shape[1] % tp:
         raise ValueError(
             f"heads ({q.shape[1]}q/{k_pages.shape[1]}kv) not divisible by "
             f"model axis {tp}"
         )
 
+    pg = P(None, MODEL, None, None, None)
+    if k_scale is not None:
+        def fq(q, kp, vp, table, lengths, layer, ks, vs):
+            return paged_attention(q, kp, vp, table, lengths, layer,
+                                   k_scale=ks, v_scale=vs)
+
+        return jax.shard_map(
+            fq, mesh=_island_mesh(mesh),
+            in_specs=(P(None, MODEL, None), pg, pg, P(), P(), P(), pg, pg),
+            out_specs=P(None, MODEL, None),
+            axis_names={MODEL},
+        )(q, k_pages, v_pages, table, lengths, layer, k_scale, v_scale)
+
     def f(q, kp, vp, table, lengths, layer):
         return paged_attention(q, kp, vp, table, lengths, layer)
 
     return jax.shard_map(
-        f, mesh=mesh,
-        in_specs=(P(None, MODEL, None), P(None, MODEL, None, None, None),
-                  P(None, MODEL, None, None, None), P(), P(), P()),
+        f, mesh=_island_mesh(mesh),
+        in_specs=(P(None, MODEL, None), pg, pg, P(), P(), P()),
         out_specs=P(None, MODEL, None),
         axis_names={MODEL},
     )(q, k_pages, v_pages, table, lengths, layer)
@@ -90,20 +105,35 @@ def sharded_write_kv_rows(
     v: jnp.ndarray,
     active: Optional[jnp.ndarray],
     mesh: Optional[Mesh] = None,
+    k_scale: Optional[jnp.ndarray] = None,
+    v_scale: Optional[jnp.ndarray] = None,
 ):
     from vita_tpu.ops.paged_attention import write_kv_rows
 
     tp = _axis(mesh, MODEL)
     if tp == 1:
         return write_kv_rows(k_pages, v_pages, layer, table, pos, k, v,
-                             active=active)
+                             active=active, k_scale=k_scale, v_scale=v_scale)
+
+    pg = P(None, MODEL, None, None, None)
+    if k_scale is not None:
+        def fq(kp, vp, layer, table, pos, k, v, active, ks, vs):
+            return write_kv_rows(kp, vp, layer, table, pos, k, v,
+                                 active=active, k_scale=ks, v_scale=vs)
+
+        return jax.shard_map(
+            fq, mesh=_island_mesh(mesh),
+            in_specs=(pg, pg, P(), P(), P(), P(None, MODEL, None),
+                      P(None, MODEL, None), P(), pg, pg),
+            out_specs=(pg, pg, pg, pg),
+            axis_names={MODEL},
+        )(k_pages, v_pages, layer, table, pos, k, v, active, k_scale, v_scale)
 
     def f(kp, vp, layer, table, pos, k, v, active):
         return write_kv_rows(kp, vp, layer, table, pos, k, v, active=active)
 
-    pg = P(None, MODEL, None, None, None)
     return jax.shard_map(
-        f, mesh=mesh,
+        f, mesh=_island_mesh(mesh),
         in_specs=(pg, pg, P(), P(), P(), P(None, MODEL, None),
                   P(None, MODEL, None), P()),
         out_specs=(pg, pg),
@@ -223,26 +253,28 @@ def sharded_gather_ffn(
         raise ValueError(f"{n_experts} experts not divisible by expert axis {ep}")
     e_local = n_experts // ep
 
-    def f(x, topk_w, topk_idx, *leaves):
+    def f(x, topk_w, topk_idx, li, *leaves):
         weights = dict(zip(names, leaves))
         r = jax.lax.axis_index(EXPERT)
         e0 = r * e_local
         local = (topk_idx >= e0) & (topk_idx < e0 + e_local)
-        idx_loc = (
-            jnp.clip(topk_idx - e0, 0, e_local - 1) + layer_idx * e_local
-        )
+        idx_loc = jnp.clip(topk_idx - e0, 0, e_local - 1) + li * e_local
         w_loc = topk_w * local.astype(topk_w.dtype)
         out = run_local(x, w_loc, idx_loc, weights, e_local)
         return jax.lax.psum(out, EXPERT)
 
     names = sorted(moe_stacked)
     wspec = P(None, EXPERT)
+    # layer_idx rides in as an operand (not a closure): callers inside a
+    # pipe-manual region pass a traced local layer id, whose aval must be
+    # retyped at the manual boundary like any other input
     return jax.shard_map(
-        f, mesh=mesh,
-        in_specs=(P(), P(), P()) + tuple(wspec for _ in names),
+        f, mesh=_island_mesh(mesh),
+        in_specs=(P(), P(), P(), P()) + tuple(wspec for _ in names),
         out_specs=P(),
         axis_names={EXPERT},
-    )(x, topk_w, topk_idx, *[moe_stacked[n] for n in names])
+    )(x, topk_w, topk_idx, jnp.asarray(layer_idx, jnp.int32),
+      *[moe_stacked[n] for n in names])
 
 
 def sharded_gmm_ffn(
@@ -296,7 +328,7 @@ def sharded_gmm_ffn(
     names = sorted(moe_stacked)
     wspec = P(None, EXPERT)
     return jax.shard_map(
-        f, mesh=mesh,
+        f, mesh=_island_mesh(mesh),
         in_specs=(P(), P(), P()) + tuple(wspec for _ in names),
         out_specs=P(),
         axis_names={EXPERT},

@@ -125,7 +125,9 @@ def decode_chunk(
     the returned cache carries the ADVANCED ``pos``.
     """
     if "k_pages" in cache:
-        kv = {"k_pages": cache["k_pages"], "v_pages": cache["v_pages"]}
+        # int8 pools carry per-row scale arrays alongside (kv_int8)
+        kv = {k: cache[k] for k in
+              ("k_pages", "v_pages", "k_scale", "v_scale") if k in cache}
         table = cache["table"]
     else:
         kv = {"k": cache["k"], "v": cache["v"]}
@@ -153,10 +155,12 @@ def _decode_chunk_jit(
     paged = "k_pages" in kv
     if paged:
 
+        pool_keys = tuple(kv)  # k_pages/v_pages (+ k_scale/v_scale if int8)
+
         def body(carry, _):
             kv, tok, pos, key = carry
-            c = {"k_pages": kv["k_pages"], "v_pages": kv["v_pages"],
-                 "table": table, "pos": pos, "active": active}
+            c = dict(kv)
+            c.update({"table": table, "pos": pos, "active": active})
             logits, nc, _ = mixtral.forward(
                 llm_params, llm_cfg, input_ids=tok[:, None],
                 positions=pos[:, None], cache=c, mesh=mesh,
@@ -165,12 +169,11 @@ def _decode_chunk_jit(
             nxt = sample_tokens(logits[:, -1], sub, temperature, top_k, top_p,
                                 mode=sampling_mode)
             return (
-                {"k_pages": nc["k_pages"], "v_pages": nc["v_pages"]},
+                {k: nc[k] for k in pool_keys},
                 nxt, pos + 1, key,
             ), tok
 
-        carry0 = ({"k_pages": kv["k_pages"], "v_pages": kv["v_pages"]},
-                  tok, pos, key)
+        carry0 = (dict(kv), tok, pos, key)
         (kv, tok, pos, key), toks = jax.lax.scan(body, carry0, None, length=chunk_len)
         return kv, toks.T, tok, key, pos
 

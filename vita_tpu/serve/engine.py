@@ -4,10 +4,12 @@ TPU-native equivalent of the reference's patched-vLLM serving stack
 (web_demo/vllm_tools/vllm_file/mixtral.py:484-489 — paged attention +
 scheduler; AsyncLLMEngine usage in web_interactive_demo.py):
 
-- **Paged KV**: all slots share one page pool (ops.paged_attention); a
-  request allocates ceil((prompt+max_new)/page) pages at admission, so HBM
-  is sized by real context lengths — >2x effective batch at the same HBM
-  vs the round-1 per-slot [max_len] cache.
+- **Paged KV with lazy growth + preemption**: all slots share one page
+  pool (ops.paged_attention); a request allocates only its PROMPT's pages
+  at admission and grows per decode chunk (_ensure_pages), so concurrency
+  is bounded by actual usage, not requested maxima. Under pool pressure
+  the engine reclaims cached session prefixes, then preempts the newest
+  active request (recompute-on-resume) — vLLM-scheduler semantics.
 - **Chunked prefill**: a prompt prefills ``prefill_chunk`` tokens per
   engine tick into a linear scratch (flash attention), interleaved with
   decode ticks, so decoding slots stall at most one chunk — never a whole
@@ -164,27 +166,50 @@ def _install_fn(kp, vp, sk, sv, page_ids):
     return install_prefill_pages(kp, vp, sk, sv, page_ids)
 
 
+@functools.partial(jax.jit, donate_argnames=("kp", "vp", "ks", "vs"))
+def _install_fn_q(kp, vp, ks, vs, sk, sv, page_ids):
+    return install_prefill_pages(kp, vp, sk, sv, page_ids,
+                                 k_scale=ks, v_scale=vs)
+
+
+def _gather_pages(pages, page_ids):
+    x = pages[:, :, jnp.clip(page_ids, 0, pages.shape[2] - 1)]
+    l, hkv, n_pp, page, hd = x.shape
+    return x.transpose(0, 2, 3, 1, 4).reshape(l, 1, n_pp * page, hkv, hd)
+
+
 @jax.jit
 def _extract_fn(kp, vp, page_ids):
     """Inverse of install: gather pages back into a linear prefill scratch
     [L, 1, n_pp*page, Hkv, d] — the KV-prefix-reuse path (SURVEY hard part
     4): a session's cached pages seed the next turn's scratch so only the
     new suffix pays prefill compute."""
-    def gather(pages):
-        x = pages[:, :, jnp.clip(page_ids, 0, pages.shape[2] - 1)]
-        l, hkv, n_pp, page, hd = x.shape
-        return x.transpose(0, 2, 3, 1, 4).reshape(l, 1, n_pp * page, hkv, hd)
+    return _gather_pages(kp, page_ids), _gather_pages(vp, page_ids)
 
-    return gather(kp), gather(vp)
+
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def _extract_fn_q(kp, vp, ks, vs, page_ids, dtype):
+    """int8-pool twin of _extract_fn: dequantize gathered pages back into
+    the bf16 prefill scratch (scales are per row/head)."""
+    def deq(pages, scales):
+        x = _gather_pages(pages, page_ids).astype(jnp.float32)
+        s = scales[:, :, jnp.clip(page_ids, 0, scales.shape[2] - 1)]
+        l, hkv, n_pp, _, page = s.shape
+        s = s.transpose(0, 2, 4, 1, 3).reshape(l, 1, n_pp * page, hkv, 1)
+        return (x * s).astype(dtype)
+
+    return deq(kp, ks), deq(vp, vs)
 
 
 @functools.lru_cache(maxsize=None)
 def _pp_scratch_zeros(shape, dtype, mesh):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    # [L, 1, bucket, Hkv, hd]: layers over 'pipe', kv heads over 'model'
+    # (matches the pool sharding so install/extract never reshard)
     return jax.jit(
         lambda: jnp.zeros(shape, dtype),
-        out_shardings=NamedSharding(mesh, P("pipe")),
+        out_shardings=NamedSharding(mesh, P("pipe", None, None, "model")),
     )
 
 
@@ -237,6 +262,10 @@ class Engine:
         decode_inflight: int = 2,
         decode_ticks: int = 4,
         max_concurrent_prefills: int = 2,
+        kv_int8: bool = False,  # int8 KV pages + per-row scales: ~1.94x
+        # more pooled context per HBM byte (capacity lever; vLLM-class
+        # kv_cache_dtype). Decode reads dequantize in-kernel; outputs are
+        # near-bf16 (tolerance-tested, tests/test_paged_attention.py).
         prompt_buckets: Sequence[int] = DEFAULT_PROMPT_BUCKETS,
         tile_buckets: Sequence[int] = DEFAULT_TILE_BUCKETS,
         frame_buckets: Sequence[int] = DEFAULT_FRAME_BUCKETS,
@@ -270,24 +299,38 @@ class Engine:
                     f"n_slots={n_slots} must be a multiple of the pipe axis "
                     f"{self._pp} (slots partition into one wave per stage)"
                 )
-            for ax in ("model", "expert"):
-                if ax in mesh.shape and int(mesh.shape[ax]) > 1:
-                    raise NotImplementedError(
-                        f"pipe>1 composed with {ax}>1 is not supported in "
-                        "the serving engine yet (use pipe-only or "
-                        "model/expert-only serving meshes)"
-                    )
+            # pipe composes with model/expert: the pp_serving programs are
+            # manual over 'pipe' only, so GSPMD keeps TP/EP sharding inside
+            # each stage and the Pallas kernels run as nested shard_map
+            # islands (parallel/sharded_ops). Reference semantics: vLLM PP
+            # stages built FROM TP parallel linears
+            # (web_demo/vllm_tools/vllm_file/mixtral.py:592-628 over
+            # :461-476 with tensor_parallel_size=2).
             cfg = dataclasses.replace(
                 cfg, llm=dataclasses.replace(cfg.llm, pipe_stages=self._pp)
             )
-        # Off-TPU, PP programs run their ppermute/psum collectives on the
-        # host-emulated multi-device runtime, where two overlapping
-        # executions' collectives can interleave (observed as rare
-        # wild-token corruption starting exactly at the first ring-wrap-
-        # dependent token). Serialize PP program executions there; on real
-        # TPU the async pipelined dispatch stays (per-execution collective
-        # ordering is hardware-enforced on ICI).
+        # Off-TPU, overlapped PP program execution corrupts tokens via TWO
+        # independent host-emulated-runtime mechanisms, bisected with
+        # tools/repro_pp_overlap.py (r5): (a) concurrently executing PP
+        # programs interleave their emulated ppermute/psum rendezvous
+        # (4-request corruption that survives disabling donation), and
+        # (b) donated-pool buffers freed by a completed engine lifecycle
+        # are reused while async-dispatched work still references them
+        # (single-request corruption requiring donation + a prior
+        # in-process lifecycle; a fresh process never corrupts). Neither
+        # applies on real TPU: collectives compile to per-execution ICI
+        # transfers (no cross-program rendezvous) and the TPU runtime
+        # sequences donated-buffer reuse against in-flight executions —
+        # so the async pipelined dispatch stays enabled there. Regression
+        # guard: tests/test_pp_engine.py::
+        # test_pp_sync_two_lifecycles_token_identical.
         self._pp_sync = self._pp > 1 and jax.default_backend() != "tpu"
+        self.kv_int8 = bool(kv_int8)
+        if self.kv_int8 and self._pp > 1:
+            raise ValueError(
+                "kv_int8 is not supported with pipeline-parallel serving "
+                "yet (the pp_serving programs carry the bf16 pool only)"
+            )
         self.params = params
         self.cfg = cfg
         self.mesh = mesh
@@ -397,24 +440,25 @@ class Engine:
                 mesh,
                 P("pipe" if self._pp > 1 else None, "model", None, None, None),
             )
+            shardings = {"k_pages": kv_spec, "v_pages": kv_spec}
+            if self.kv_int8:
+                shardings.update({"k_scale": kv_spec, "v_scale": kv_spec})
             pool = jax.jit(
                 functools.partial(
                     init_page_pool, llm.n_layers, llm.n_kv_heads,
                     total_pages, page_size, llm.head_dim, dtype=llm.dtype,
+                    quantized=self.kv_int8,
                 ),
-                out_shardings={"k_pages": kv_spec, "v_pages": kv_spec},
+                out_shardings=shardings,
             )()
         else:
             pool = init_page_pool(
                 llm.n_layers, llm.n_kv_heads, total_pages, page_size,
-                llm.head_dim, dtype=llm.dtype,
+                llm.head_dim, dtype=llm.dtype, quantized=self.kv_int8,
             )
         # decode gathers table/pos per-tick from the host-side state
         # (_table_np / self.pos); no device-resident copies to keep in sync
-        self.cache = {
-            "k_pages": pool["k_pages"],
-            "v_pages": pool["v_pages"],
-        }
+        self.cache = dict(pool)
 
         # host-side slot state
         self.pos = np.zeros(n_slots, np.int32)
@@ -453,6 +497,7 @@ class Engine:
         # session_key -> cached pages+ids of the previous turn (KV reuse)
         self._prefix_cache: Dict[str, _CachedPrefix] = {}
         self._reused_prefix_rows = 0
+        self._preempt_count = 0
 
         del llm  # programs are module-level (shared across engines)
 
@@ -462,6 +507,18 @@ class Engine:
             raise ValueError(
                 f"request needs {len(req.input_ids) + req.max_new_tokens} slots, "
                 f"cache holds {self.max_len}"
+            )
+        if (
+            pages_needed(len(req.input_ids) + req.max_new_tokens,
+                         self.page_size)
+            > self.total_pages
+        ):
+            # the no-deadlock invariant of lazy growth (see _ensure_pages):
+            # the oldest active request must always be able to reach its
+            # worst case once caches and newer slots are reclaimed
+            raise ValueError(
+                "request's worst-case KV exceeds the page pool "
+                f"({self.total_pages} pages of {self.page_size})"
             )
         req.submit_time = time.time()
         self.queue.put(req)
@@ -483,6 +540,7 @@ class Engine:
             "total_pages": float(self.total_pages),
             "cached_prefixes": float(len(self._prefix_cache)),
             "reused_prefix_rows": float(self._reused_prefix_rows),
+            "preemptions": float(self._preempt_count),
         }
         if self._ttft_count:
             cum = np.cumsum(self._ttft_hist)
@@ -605,7 +663,8 @@ class Engine:
 
         def runs(mask):
             m = np.zeros(s, bool)
-            m[:s] = np.asarray(mask, bool)[:s]
+            mm = np.asarray(mask, bool)[:s]
+            m[: len(mm)] = mm
             edges = np.flatnonzero(
                 np.diff(np.concatenate([[0], m.astype(np.int8), [0]]))
             )
@@ -719,8 +778,13 @@ class Engine:
             if not free_slots:
                 return
             req = self._pending[0]
-            s = len(req.input_ids)
-            n_pages = pages_needed(s + req.max_new_tokens, self.page_size)
+            # lazy allocation (vLLM-scheduler semantics, SURVEY §2.4 row
+            # 2): reserve only the PROMPT's pages here — decode pages grow
+            # per chunk in _ensure_pages, so concurrency is bounded by
+            # actual usage, not requested maxima. Resumed (preempted)
+            # requests re-prefill prompt+generated, hence the token count.
+            s = len(req.input_ids) + len(req.tokens)
+            n_pages = pages_needed(s, self.page_size)
             pages = self.alloc.alloc(n_pages)
             if pages is None:
                 # cached session prefixes are reclaimable: evict oldest first,
@@ -738,8 +802,16 @@ class Engine:
             self._start_prefill(free_slots[0], req, pages)
 
     def _start_prefill(self, slot: int, req: Request, pages: List[int]) -> None:
-        s = len(req.input_ids)
-        padded, _ = pad_to_bucket(req.input_ids, self.prompt_buckets, pad_id=0)
+        ids_np = np.asarray(req.input_ids, np.int32)
+        if req.tokens:
+            # preempt-resume: recompute the generated tokens' KV rows too;
+            # the prefill's sampled token is then the request's NEXT new
+            # token and emission continues where it left off
+            ids_np = np.concatenate(
+                [ids_np, np.asarray(req.tokens, np.int32)]
+            )
+        s = len(ids_np)
+        padded, _ = pad_to_bucket(ids_np, self.prompt_buckets, pad_id=0)
         bucket = len(padded)
         ids = jnp.asarray(np.asarray(padded, np.int32))[None]
 
@@ -749,7 +821,8 @@ class Engine:
             def padmask(m):
                 out = np.zeros(bucket, bool)
                 if m is not None:
-                    out[:s] = np.asarray(m, bool)
+                    mm = np.asarray(m, bool)  # may be shorter than s on resume
+                    out[: len(mm)] = mm
                 return jnp.asarray(out)[None]
 
             img = (
@@ -777,7 +850,8 @@ class Engine:
                     aenc, aenc_len = jnp.asarray(clips), jnp.asarray(lens)
                 am_np = np.zeros(bucket, bool)
                 if req.audio_mask is not None:
-                    am_np[:s] = np.asarray(req.audio_mask, bool)
+                    _am = np.asarray(req.audio_mask, bool)
+                    am_np[: len(_am)] = _am
                 ci, ri = audio_select_arrays(am_np, counts)
                 sel = (jnp.asarray(ci)[None], jnp.asarray(ri)[None])
             embeds = _embed_media(
@@ -805,7 +879,7 @@ class Engine:
             m = min(len(cached.ids), s - 1)
             shared = 0
             cids = cached.ids
-            rids = np.asarray(req.input_ids)
+            rids = ids_np
 
             def mask_of(mask, n):
                 out = np.zeros(n, bool)
@@ -831,10 +905,17 @@ class Engine:
                 ids_vec = np.zeros(n_pp, np.int32)
                 use = min(n_pp, len(cached.pages))
                 ids_vec[:use] = cached.pages[:use]
-                sk, sv = _extract_fn(
-                    self.cache["k_pages"], self.cache["v_pages"],
-                    jnp.asarray(ids_vec),
-                )
+                if self.kv_int8:
+                    sk, sv = _extract_fn_q(
+                        self.cache["k_pages"], self.cache["v_pages"],
+                        self.cache["k_scale"], self.cache["v_scale"],
+                        jnp.asarray(ids_vec), dtype=self.cfg.llm.dtype,
+                    )
+                else:
+                    sk, sv = _extract_fn(
+                        self.cache["k_pages"], self.cache["v_pages"],
+                        jnp.asarray(ids_vec),
+                    )
                 if getattr(self, "_pp_sync", False):
                     jax.block_until_ready(sk)
                 self._reused_prefix_rows += offset
@@ -897,10 +978,18 @@ class Engine:
         ids = np.full(n_pp, self.total_pages, np.int32)
         use = min(n_pp, len(job.pages))
         ids[:use] = job.pages[:use]
-        self.cache["k_pages"], self.cache["v_pages"] = _install_fn(
-            self.cache["k_pages"], self.cache["v_pages"],
-            job.sk, job.sv, jnp.asarray(ids),
-        )
+        if self.kv_int8:
+            (self.cache["k_pages"], self.cache["v_pages"],
+             self.cache["k_scale"], self.cache["v_scale"]) = _install_fn_q(
+                self.cache["k_pages"], self.cache["v_pages"],
+                self.cache["k_scale"], self.cache["v_scale"],
+                job.sk, job.sv, jnp.asarray(ids),
+            )
+        else:
+            self.cache["k_pages"], self.cache["v_pages"] = _install_fn(
+                self.cache["k_pages"], self.cache["v_pages"],
+                job.sk, job.sv, jnp.asarray(ids),
+            )
         if getattr(self, "_pp_sync", False):
             jax.block_until_ready(self.cache["k_pages"])
         slot, req = job.slot, job.req
@@ -923,6 +1012,90 @@ class Engine:
         tok0 = int(np.asarray(job.tok)[0])
         self._skip[slot] = 1
         self._emit(slot, req, tok0)
+
+    def _ensure_pages(self, active_idx, ticks: int) -> bool:
+        """Lazy KV page growth (vLLM-scheduler semantics, SURVEY §2.4 row
+        2): admission reserved only the prompt's pages; before each decode
+        dispatch every active slot grows its allocation to cover the rows
+        the chained chunks will write (capped at the request's worst case,
+        past which overshoot writes land out of bounds as before). Under
+        pool pressure, reclaim cached session prefixes first, then preempt
+        the newest-arrived active request (recompute-on-resume: it
+        re-queues at the head of the pending deque and re-prefills
+        prompt+generated on readmission — greedy streams are token-
+        identical across a preemption; sampled streams resume on a fresh
+        RNG draw, like vLLM's recompute preemption). FIFO never deadlocks:
+        submit() guarantees any single request's worst case fits the pool,
+        and the OLDEST active request is never preempted by a newer one,
+        so it can always reach its worst case once caches and newer slots
+        are reclaimed. Returns True when a preemption changed the active
+        set (the caller must recompute it before dispatching)."""
+        rows_ahead = self.decode_chunk_len * ticks
+        preempted = False
+        for i in sorted(active_idx, key=lambda j: self.slot_req[j].request_id):
+            req = self.slot_req[i]
+            if req is None or getattr(req, "_pages", None) is None:
+                continue  # preempted earlier in this pass
+            pages = req._pages
+            cap = pages_needed(
+                len(req.input_ids) + req.max_new_tokens, self.page_size
+            )
+            need = min(
+                pages_needed(int(self.pos[i]) + rows_ahead, self.page_size),
+                cap,
+            )
+            while need > len(pages):
+                got = self.alloc.alloc(need - len(pages))
+                if got is not None:
+                    self._table_np[i, len(pages):need] = got
+                    pages.extend(got)
+                    self._state_epoch += 1  # refresh device table operand
+                    break
+                if self._prefix_cache:
+                    key = next(iter(self._prefix_cache))
+                    self.alloc.release(self._prefix_cache.pop(key).pages)
+                    continue
+                # newest request holding pages: an active slot OR an
+                # in-flight prefill job (its prompt pages are reclaimable
+                # the same way — it re-queues and re-prefills later)
+                cand = [
+                    (self.slot_req[j].request_id, "slot", j)
+                    for j in range(self.n_slots)
+                    if self.slot_req[j] is not None
+                ] + [
+                    (job.req.request_id, "job", k)
+                    for k, job in enumerate(self._prefill_jobs)
+                ]
+                _, kind, victim = max(cand)
+                preempted = True
+                if kind == "job":
+                    job = self._prefill_jobs.pop(victim)
+                    self.alloc.release(job.pages)
+                    self._preempt_count += 1
+                    self._pending.appendleft(job.req)
+                    continue
+                self._preempt_slot(victim)
+                if victim == i:
+                    break  # this slot itself was the newest — re-queued
+        return preempted
+
+    def _preempt_slot(self, slot: int) -> None:
+        """Recompute-on-resume preemption: release the slot's pages and
+        re-queue its request at the head of the pending deque (it arrived
+        before anything still pending, so head position preserves FIFO);
+        on readmission _start_prefill re-prefills prompt+generated tokens
+        and emission continues where it left off."""
+        req = self.slot_req[slot]
+        self.slot_req[slot] = None
+        self.pos[slot] = 0
+        self._skip[slot] = 0
+        self._state_epoch += 1
+        pages = getattr(req, "_pages", None)
+        if pages:
+            self.alloc.release(pages)
+            req._pages = None
+        self._preempt_count += 1
+        self._pending.appendleft(req)
 
     def _ticks_this_round(self, active_idx) -> int:
         """How many decode chunks to chain in this host loop iteration.
@@ -963,6 +1136,18 @@ class Engine:
         later-enqueued prefill), and its tokens are dropped for any slot
         whose request changed by processing time."""
         active_idx = [i for i, r in enumerate(self.slot_req) if r is not None]
+        ticks = 1
+        if active_idx:
+            # grow page allocations to cover this round's rows BEFORE the
+            # table upload; a preemption shrinks the active set
+            ticks = self._ticks_this_round(active_idx)
+            if self._ensure_pages(active_idx, ticks):
+                active_idx = [
+                    i for i, r in enumerate(self.slot_req) if r is not None
+                ]
+                ticks = (
+                    self._ticks_this_round(active_idx) if active_idx else 1
+                )
         if active_idx:
             nb = 1
             while nb < len(active_idx):
@@ -989,16 +1174,11 @@ class Engine:
                 temps_d = jnp.asarray(self._temps[idx])
                 topk_d = jnp.asarray(self._topk[idx])
                 topp_d = jnp.asarray(self._topp[idx])
-            ticks = self._ticks_this_round(active_idx)
             tok_in = self._tok_dev[idx_d]
             parts = []
             for _ in range(ticks):
-                cache = {
-                    "k_pages": self.cache["k_pages"],
-                    "v_pages": self.cache["v_pages"],
-                    "table": table_d,
-                    "pos": pos_d,
-                }
+                cache = dict(self.cache)  # pool (+ scales when kv_int8)
+                cache.update({"table": table_d, "pos": pos_d})
                 new_cache, toks, tok_out, self._key = decode_chunk(
                     self._decode_llm, cache, tok_in,
                     pos_d, active_d, temps_d, topk_d, topp_d, self._key,
@@ -1009,8 +1189,8 @@ class Engine:
                 parts.append(toks)
                 tok_in = tok_out
                 pos_d = new_cache["pos"]
-                self.cache["k_pages"] = new_cache["k_pages"]
-                self.cache["v_pages"] = new_cache["v_pages"]
+                for k in self.cache:
+                    self.cache[k] = new_cache[k]
             # the device cursor advances in lockstep with self.pos below
             # (padding rows duplicate a live slot and stay consistent:
             # every occurrence sees the same per-slot value); decode_chunk
@@ -1054,6 +1234,18 @@ class Engine:
         s_waves, n = self._pp, self.n_slots
         bw = n // s_waves
         active_idx = [i for i, r in enumerate(self.slot_req) if r is not None]
+        ticks = 1
+        if active_idx:
+            # multi-tick chains apply here too, EXCEPT off-TPU: _pp_sync
+            # must drain each execution's host-emulated collectives before
+            # the next starts, so chaining would reintroduce the overlap
+            ticks = 1 if self._pp_sync else self._ticks_this_round(active_idx)
+            if self._ensure_pages(active_idx, ticks):
+                active_idx = [
+                    i for i, r in enumerate(self.slot_req) if r is not None
+                ]
+                if active_idx and not self._pp_sync:
+                    ticks = self._ticks_this_round(active_idx)
         if active_idx:
             mode = choose_sampling_mode(
                 self._temps[active_idx], self._topk[active_idx],
@@ -1072,10 +1264,6 @@ class Engine:
                 temps_d = jnp.asarray(self._temps.reshape(s_waves, bw))
                 topk_d = jnp.asarray(self._topk.reshape(s_waves, bw))
                 topp_d = jnp.asarray(self._topp.reshape(s_waves, bw))
-            # multi-tick chains apply here too, EXCEPT off-TPU: _pp_sync
-            # must drain each execution's host-emulated collectives before
-            # the next starts, so chaining would reintroduce the overlap
-            ticks = 1 if self._pp_sync else self._ticks_this_round(active_idx)
             tok_in = self._tok_dev.reshape(s_waves, bw)
             parts = []
             for _ in range(ticks):
