@@ -70,6 +70,8 @@ def _load_recorded() -> dict:
                           ("masked_moe.json", "recorded_masked_"),
                           ("engine_concurrency.json", "recorded_conc_"),
                           ("extrap_check.json", "recorded_extrap_"),
+                          ("duplex_latency.json", "recorded_duplex_"),
+                          ("engine_batch_gather_q4.json", "recorded_batch_q4_"),
                           ("engine_ttft.json", "recorded_engine_")):
         path = os.path.join(rdir, fname)
         if os.path.exists(path):

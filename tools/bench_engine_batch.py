@@ -4,20 +4,32 @@ Batch-1 MoE decode is weight-streaming-bound (see BASELINE.md roofline
 accounting), so adding concurrent decodes is nearly free until the top-2
 routing of the batch covers all 8 experts: the same weight stream serves
 every active slot. This measures what the continuous-batching engine
-actually delivers: aggregate tokens/s at 1, 2 and 4 concurrent decoding
+actually delivers: aggregate tokens/s at 1..N concurrent decoding
 requests, full-width 2-layer geometry on the real chip. Reference role:
-vLLM's continuous batching throughput story (web_demo/vllm_tools/).
+vLLM's continuous batching throughput story (web_demo/vllm_tools/
+vllm_file/mixtral.py:375-423 — FusedMoE exists for exactly this
+batched-decode regime).
 
-Writes bench_results/engine_batch.json (merged into bench.py extras as
-recorded_batch_*).
+Usage: bench_engine_batch.py [--slots 1 2 4 8 16] [--moe-mode gather]
+Writes bench_results/engine_batch[_<mode>].json (merged into bench.py
+extras as recorded_batch_*).
 """
 
+import argparse
 import json
 import os
 import time
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--slots", type=int, nargs="+", default=[1, 2, 4, 8],
+                    help="concurrency levels to sweep (max sets n_slots)")
+    ap.add_argument("--moe-mode", default="gather",
+                    choices=["gather", "gather_q", "gather_q4", "dense"])
+    ap.add_argument("--tokens", type=int, default=160)
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -46,15 +58,16 @@ def main() -> None:
         ),
     }
 
-    eng = Engine(params, cfg, n_slots=8, max_len=512,
-                 decode_moe_mode="gather", prompt_buckets=(128,))
+    n_slots = max(args.slots)
+    eng = Engine(params, cfg, n_slots=n_slots, max_len=512,
+                 decode_moe_mode=args.moe_mode, prompt_buckets=(128,))
 
     results = {}
-    for n in (1, 2, 4, 8):
+    for n in args.slots:
         stamps = []
         reqs = [
             Request(input_ids=np.arange(2 + i, 102 + i, dtype=np.int32),
-                    max_new_tokens=160, eos_id=-1,
+                    max_new_tokens=args.tokens, eos_id=-1,
                     on_token=lambda _t, s=stamps: s.append(time.time()))
             for i in range(n)
         ]
@@ -65,19 +78,23 @@ def main() -> None:
         skip = max(total // 4, 16 * n)  # drop compile/ramp chunks
         agg = (total - 1 - skip) / (stamps[-1] - stamps[skip])
         results[f"agg_tokens_per_s_{n}slot_2L"] = round(agg, 1)
+        print(json.dumps({"slots": n, "agg_tokens_per_s": round(agg, 1)}),
+              flush=True)
 
-    results["batch4_scaling_x"] = round(
-        results["agg_tokens_per_s_4slot_2L"]
-        / results["agg_tokens_per_s_1slot_2L"], 2
-    )
-    results["batch8_scaling_x"] = round(
-        results["agg_tokens_per_s_8slot_2L"]
-        / results["agg_tokens_per_s_1slot_2L"], 2
-    )
-    out = {"metric": "engine_batched_decode", **results}
+    base = results.get("agg_tokens_per_s_1slot_2L")
+    if base:
+        for n in args.slots:
+            if n > 1:
+                results[f"batch{n}_scaling_x"] = round(
+                    results[f"agg_tokens_per_s_{n}slot_2L"] / base, 2
+                )
+    out = {"metric": "engine_batched_decode", "moe_mode": args.moe_mode,
+           **results}
     print(json.dumps(out))
+    suffix = "" if args.moe_mode == "gather" else f"_{args.moe_mode}"
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "bench_results", "engine_batch.json")
+        os.path.abspath(__file__))), "bench_results",
+        f"engine_batch{suffix}.json")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
         json.dump(out, f)
