@@ -70,6 +70,8 @@ def _load_recorded() -> dict:
                           ("masked_moe.json", "recorded_masked_"),
                           ("engine_concurrency.json", "recorded_conc_"),
                           ("extrap_check.json", "recorded_extrap_"),
+                          ("extrap_check_bf16.json", "recorded_extrap_bf16_"),
+                          ("prefix_reuse.json", "recorded_prefix_"),
                           ("duplex_latency.json", "recorded_duplex_"),
                           ("engine_batch_gather_q4.json", "recorded_batch_q4_"),
                           ("engine_ttft.json", "recorded_engine_")):

@@ -89,10 +89,22 @@ def measure_per_step(params, cfg) -> float:
     return (b - a) / ((N_LARGE - N_SMALL) * CHUNK)
 
 
-def build(n_layers):
+def build(n_layers, dtype="int4"):
     cfg = mixtral.MixtralConfig(
         n_layers=n_layers, moe_mode="dense", dtype=jnp.bfloat16
     )
+    if dtype == "bf16":
+        # bf16 full width: resident experts are 2.8 GB/layer, so 4 layers
+        # (~11.5 GB total) is the deepest that fits one v5e chip — the
+        # VERDICT-suggested 8L bf16 run cannot fit RESIDENT HBM (22.5 GB
+        # of experts), only its *active* bytes are 6.3 GB
+        shapes = jax.eval_shape(
+            lambda key: mixtral.init_params(key, cfg), jax.random.PRNGKey(0)
+        )
+        mk = jax.jit(lambda: jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype), shapes
+        ))
+        return dataclasses.replace(cfg, moe_mode="gather"), mk()
     # materialize the QUANTIZED tree directly: initializing the bf16 8L
     # model first (22 GB of experts) would OOM the 16 GB chip before
     # quantization, and HBM-streaming time is value-independent — shapes
@@ -112,13 +124,18 @@ def build(n_layers):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--save", action="store_true")
-    ap.add_argument("--deep-layers", type=int, default=8)
+    ap.add_argument("--deep-layers", type=int, default=0,
+                    help="default: 8 for int4, 4 for bf16 (resident-HBM fit)")
+    ap.add_argument("--dtype", default="int4", choices=["int4", "bf16"])
     flags = ap.parse_args()
+    if not flags.deep_layers:
+        flags.deep_layers = 8 if flags.dtype == "int4" else 4
 
-    out = {"metric": "decode_extrapolation_check", "moe_mode": "gather_q4",
+    out = {"metric": "decode_extrapolation_check",
+           "moe_mode": "gather_q4" if flags.dtype == "int4" else "gather",
            "backend": jax.default_backend()}
 
-    cfg2, p2 = build(2)
+    cfg2, p2 = build(2, flags.dtype)
     per2 = measure_per_step(p2, cfg2)
     bytes2 = active_bytes_per_step(p2, cfg2)
     head = 51760 * 4096 * 2
@@ -127,7 +144,7 @@ def main():
     del p2
 
     deep = flags.deep_layers
-    cfgd, pd = build(deep)
+    cfgd, pd = build(deep, flags.dtype)
     perd = measure_per_step(pd, cfgd)
     bytesd = active_bytes_per_step(pd, cfgd)
     out[f"step_ms_{deep}L_measured"] = round(perd * 1e3, 3)
@@ -142,12 +159,14 @@ def main():
     out[f"active_gb_{deep}L"] = round(bytesd / 1e9, 3)
     # the headline implication: the corrected(measured) 32L projection
     pred32 = per2 * (layer_bytes * 32 + head) / bytes2
-    out["tokens_per_s_32L_int4_extrapolated"] = round(1.0 / pred32, 2)
+    out[f"tokens_per_s_32L_{flags.dtype}_extrapolated"] = round(1.0 / pred32, 2)
 
     print(json.dumps(out))
     if flags.save:
         path = os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "bench_results", "extrap_check.json")
+            os.path.abspath(__file__))), "bench_results",
+            "extrap_check.json" if flags.dtype == "int4"
+            else "extrap_check_bf16.json")
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "w") as f:
             json.dump(out, f)
