@@ -80,7 +80,9 @@ def audio_projector(
     time axis is right-padded by k-1 zeros, and stride 2 halves it.
     """
     k = params["conv_w"].shape[0]
-    x = jnp.where(valid[..., None], feats, 0)
+    # mixed-precision robustness: encoder features may arrive f32 while
+    # the adapter weights are bf16 (or vice versa) — weights govern
+    x = jnp.where(valid[..., None], feats, 0).astype(params["conv_w"].dtype)
     x = jnp.pad(x, ((0, 0), (0, k - 1), (0, 0)))
     x = jax.lax.conv_general_dilated(
         x, params["conv_w"], (2,), "VALID", dimension_numbers=("NHC", "HIO", "NHC")
