@@ -177,9 +177,17 @@ def main() -> None:
 
         # --- turn 2 mid-generation: interrupt -> role swap ---
         assert ctl.current is req1 and not req1.cancelled, "turn1 not live"
-        stamps.pop("first_text", None)
         req2, t_end2 = make_query(2)
         ctl.submit_query(req2)
+        # stamp req2's OWN first token (the global on_text also fires for
+        # the old generator's tail, so it cannot time the new turn)
+        gate_cb = req2.on_token
+
+        def req2_cb(t, _o=gate_cb):
+            stamps.setdefault("req2_first_token", time.time())
+            _o(t)
+
+        req2.on_token = req2_cb
         key = "promoted_" + str(req2.request_id)
         deadline = time.time() + 120
         while key not in stamps and time.time() < deadline:
@@ -188,10 +196,10 @@ def main() -> None:
             (stamps[key] - t_end2) * 1e3, 1
         )
         assert req1.cancelled, "interrupt did not cancel the old generator"
-        while "first_text" not in stamps and time.time() < deadline:
+        while "req2_first_token" not in stamps and time.time() < deadline:
             time.sleep(0.002)
         results["interrupt_to_first_text_ms"] = round(
-            (stamps["first_text"] - t_end2) * 1e3, 1
+            (stamps["req2_first_token"] - t_end2) * 1e3, 1
         )
         # let turn 2 finish so the reject round sees an idle monitor
         while ctl.current is req2 and not req2.finish_time:
