@@ -315,3 +315,28 @@ def test_pp_sync_two_lifecycles_token_identical(tiny4):
     ref = toks(None)
     assert toks(mesh) == ref  # lifecycle 1
     assert toks(mesh) == ref  # lifecycle 2 (the corrupting one unserialized)
+
+
+def test_pp_multi_tick_chain_token_identical(tiny4, pp2_mesh):
+    """Drive the ticks>1 PP decode branch (pos_out/tok_in threading and
+    the [W, Bw, ticks*chunk] concatenated readback) on CPU: _pp_sync
+    normally forces ticks=1 off-TPU, so disable it for ONE fresh engine
+    lifecycle — the bisected corruption mechanisms need pipe=4 with
+    concurrent programs or a prior async lifecycle (tools/
+    repro_pp_overlap.py: pipe=2 never corrupted in 30 runs; the first
+    async lifecycle after a sync one never corrupted even at pipe=4) —
+    and assert token identity with the serialized ticks=1 run."""
+    cfg, params = tiny4
+
+    def toks(sync, ticks):
+        req = Request(input_ids=PROMPT, max_new_tokens=24, eos_id=-1)
+        eng = Engine(params, cfg, n_slots=2, max_len=64, mesh=pp2_mesh,
+                     decode_ticks=ticks)
+        eng._pp_sync = sync
+        eng.submit(req)
+        eng.run_until_idle()
+        return req.tokens
+
+    ref = toks(True, 1)
+    assert len(ref) == 24
+    assert toks(False, 4) == ref
