@@ -276,21 +276,30 @@ def test_int8_engine_prefix_reuse(tiny_vita):
     assert len(r2.tokens) == 4
 
 
-def test_int8_rejected_with_pipeline_mesh(tiny_vita):
-    from vita_tpu.parallel.mesh import make_mesh
-    from vita_tpu.serve.engine import Engine
-
-    cfg, params = tiny_vita
+def test_int8_composes_with_pipeline_mesh(tiny_vita):
+    """kv_int8 x PP: the S-wave ring carries the scale arrays alongside
+    the pipe-sharded pool; tokens match the single-chip int8 engine."""
     import dataclasses as _dc
 
-    cfg4 = _dc.replace(cfg, llm=_dc.replace(cfg.llm, n_layers=4))
-    params4 = None
-    mesh = make_mesh(shape=(1, 1, 1, 1, 2, 1), devices=jax.devices()[:2])
     from vita_tpu.models import vita as _vita
+    from vita_tpu.parallel.mesh import make_mesh
+    from vita_tpu.serve.engine import Engine, Request
 
+    cfg, _ = tiny_vita
+    cfg4 = _dc.replace(cfg, llm=_dc.replace(cfg.llm, n_layers=4))
     params4 = _vita.init_params(jax.random.PRNGKey(0), cfg4)
-    with pytest.raises(ValueError, match="kv_int8"):
-        Engine(params4, cfg4, n_slots=2, max_len=64, kv_int8=True, mesh=mesh)
+    mesh = make_mesh(shape=(1, 1, 1, 1, 2, 1), devices=jax.devices()[:2])
+    prompt = np.arange(2, 18, dtype=np.int32)
+
+    def toks(m):
+        eng = Engine(params4, cfg4, n_slots=2, max_len=64, kv_int8=True,
+                     decode_moe_mode="dense", mesh=m)
+        req = Request(input_ids=prompt, max_new_tokens=10, eos_id=-1)
+        eng.submit(req)
+        eng.run_until_idle()
+        return req.tokens
+
+    assert toks(mesh) == toks(None)
 
 
 @pytest.fixture(scope="module")

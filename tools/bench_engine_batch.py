@@ -28,6 +28,9 @@ def main() -> None:
     ap.add_argument("--moe-mode", default="gather",
                     choices=["gather", "gather_q", "gather_q4", "dense"])
     ap.add_argument("--tokens", type=int, default=160)
+    ap.add_argument("--kv-int8", action="store_true",
+                    help="int8 KV pool (capacity lever) — measures its "
+                         "throughput cost vs the bf16 pool")
     args = ap.parse_args()
 
     import jax
@@ -60,7 +63,8 @@ def main() -> None:
 
     n_slots = max(args.slots)
     eng = Engine(params, cfg, n_slots=n_slots, max_len=512,
-                 decode_moe_mode=args.moe_mode, prompt_buckets=(128,))
+                 decode_moe_mode=args.moe_mode, prompt_buckets=(128,),
+                 kv_int8=args.kv_int8)
 
     results = {}
     for n in args.slots:
@@ -89,9 +93,11 @@ def main() -> None:
                     results[f"agg_tokens_per_s_{n}slot_2L"] / base, 2
                 )
     out = {"metric": "engine_batched_decode", "moe_mode": args.moe_mode,
-           **results}
+           "kv_int8": args.kv_int8, **results}
     print(json.dumps(out))
     suffix = "" if args.moe_mode == "gather" else f"_{args.moe_mode}"
+    if args.kv_int8:
+        suffix += "_kvint8"
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "bench_results",
         f"engine_batch{suffix}.json")

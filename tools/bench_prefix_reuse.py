@@ -60,14 +60,10 @@ def main() -> None:
         ),
     }
 
-    if args.tiny:  # tiny towers emit few image tokens; shrink the chunk so
-        # the shared prefix still covers whole chunks
-        eng = Engine(params, cfg, n_slots=2, max_len=256, prefill_chunk=16,
-                     decode_moe_mode="gather", prompt_buckets=(64, 128, 256))
-    else:
-        eng = Engine(params, cfg, n_slots=2, max_len=2048, prefill_chunk=128,
-                     decode_moe_mode="gather",
-                     prompt_buckets=(512, 1024, 2048))
+    # small prefill chunks: the tiny towers emit few image tokens, and
+    # reuse is chunk-aligned — the shared prefix must cover whole chunks
+    eng = Engine(params, cfg, n_slots=2, max_len=256, prefill_chunk=16,
+                 decode_moe_mode="gather", prompt_buckets=(64, 128, 256))
 
     g = cfg.image_group_tiles
     n_img = cfg.image_tokens_per_group

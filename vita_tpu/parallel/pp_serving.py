@@ -170,7 +170,7 @@ def pp_prefill_chunk(
 # S-wave ring decode over the paged pool
 # ----------------------------------------------------------------------
 @functools.partial(
-    jax.jit, donate_argnames=("kp", "vp"),
+    jax.jit, donate_argnames=("kp", "vp", "kscale", "vscale"),
     static_argnames=("llm_cfg", "chunk_len", "sampling_mode", "mesh"),
 )
 def pp_decode_chunk(
@@ -185,12 +185,14 @@ def pp_decode_chunk(
     topks: jnp.ndarray,  # [W, Bw] int32
     topps: jnp.ndarray,  # [W, Bw]
     key: jax.Array,
+    kscale: jnp.ndarray = None,  # [L, Hkv, P, 1, page] f32 (kv_int8 pool)
+    vscale: jnp.ndarray = None,
     *,
     llm_cfg: MixtralConfig,
     chunk_len: int,
     sampling_mode: str,
     mesh,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jax.Array]:
+):
     """Advance every wave ``chunk_len`` tokens through the S-stage ring.
 
     Wave w's token i is processed by stage s at substep t = w + i*S + s;
@@ -198,7 +200,8 @@ def pp_decode_chunk(
     embedding rides the ring wrap straight into stage 0. Emission keeps
     the engine's fed-token convention: returns
     (kp, vp, toks_fed [W, Bw, chunk_len], next_tok [W, Bw],
-    pos_out [W, Bw], key).
+    pos_out [W, Bw], key) — plus (kscale, vscale) appended when the pool
+    is int8-quantized (kv_int8 x PP composition).
     """
     from vita_tpu.sampling import sample_tokens
 
@@ -225,9 +228,10 @@ def pp_decode_chunk(
     }
 
     ep = _axis(mesh, EXPERT)
+    quant = kscale is not None
 
-    def ring_fn(lp_local, head, kp, vp, table, pos, active, temps, topks,
-                topps, x0, subkeys):
+    def ring_fn(lp_local, head, kp, vp, ks, vs, table, pos, active, temps,
+                topks, topps, x0, subkeys):
         stage = jax.lax.axis_index(PIPE)
 
         # local flat expert views for the gather decode kernels (same
@@ -256,18 +260,24 @@ def pp_decode_chunk(
             scan_layers = lp_local
         lids = jnp.arange(n_local, dtype=jnp.int32)
 
-        def run_local(x, kp, vp, table_w, pos_w, act_w):
+        def run_local(x, kp, vp, ks, vs, table_w, pos_w, act_w):
             def f(carry, inp):
-                x, kp, vp = carry
+                x, kp, vp, ks, vs = carry
                 lp, li = inp
                 h = rms_norm(x, lp["ln_attn"], llm_cfg.rms_eps)
                 # mesh: paged attention + kv writes run as nested 'model'
                 # shard_map islands inside the pipe-manual region (the pool
                 # arrives sharded over pipe x model — PP x TP composition)
-                attn_out, kp, vp = _attention_block_paged(
+                got = _attention_block_paged(
                     lp["attn"], llm_cfg, h, pos_w[:, None], kp, vp,
                     table_w, pos_w, act_w, li, mesh=mesh,
+                    k_scale=ks if quant else None,
+                    v_scale=vs if quant else None,
                 )
+                if quant:
+                    attn_out, kp, vp, ks, vs = got
+                else:
+                    attn_out, kp, vp = got
                 x = x + attn_out
                 h = rms_norm(x, lp["ln_moe"], llm_cfg.rms_eps)
                 h2d = h.reshape(bw, d)
@@ -316,13 +326,15 @@ def pp_decode_chunk(
                         lp["moe"], h2d, llm_cfg.top_k, mode=llm_cfg.moe_mode,
                         capacity_factor=llm_cfg.moe_capacity_factor,
                     )
-                return (x + moe_out.reshape(bw, 1, d), kp, vp), None
+                return (x + moe_out.reshape(bw, 1, d), kp, vp, ks, vs), None
 
-            (y, kp, vp), _ = jax.lax.scan(f, (x, kp, vp), (scan_layers, lids))
-            return y, kp, vp
+            (y, kp, vp, ks, vs), _ = jax.lax.scan(
+                f, (x, kp, vp, ks, vs), (scan_layers, lids)
+            )
+            return y, kp, vp, ks, vs
 
         def substep(carry, xs):
-            state, kp, vp, samples = carry
+            state, kp, vp, ks, vs, samples = carry
             t, sub = xs
             j = t - stage
             valid = (j >= 0) & (j < n_stages * chunk_len)
@@ -334,7 +346,9 @@ def pp_decode_chunk(
             act_w = jnp.take(active, wave, axis=0) & valid  # [Bw]
             x_feed = jnp.take(x0, wave, axis=0)  # [Bw, 1, D]
             x_cur = jnp.where((stage == 0) & (itok == 0), x_feed, state)
-            y, kp, vp = run_local(x_cur, kp, vp, table_w, pos_w, act_w)
+            y, kp, vp, ks, vs = run_local(
+                x_cur, kp, vp, ks, vs, table_w, pos_w, act_w
+            )
 
             # only the LAST stage pays the lm_head read + sample
             def finish(yy):
@@ -369,15 +383,17 @@ def pp_decode_chunk(
                 PIPE,
                 [(i, (i + 1) % n_stages) for i in range(n_stages)],
             )
-            return (state, kp, vp, samples), None
+            return (state, kp, vp, ks, vs, samples), None
 
         init = (
             _vary(jnp.zeros((bw, 1, d), llm_cfg.dtype)),
             kp,
             vp,
+            ks,
+            vs,
             _vary(jnp.zeros((w_waves, chunk_len, bw), jnp.int32)),
         )
-        (state, kp, vp, samples), _ = jax.lax.scan(
+        (state, kp, vp, ks, vs, samples), _ = jax.lax.scan(
             substep, init, (jnp.arange(total), subkeys[:total])
         )
         # only the last stage's sample entries are real tokens
@@ -385,24 +401,33 @@ def pp_decode_chunk(
             jnp.where(stage == n_stages - 1, samples, jnp.zeros_like(samples)),
             PIPE,
         )
-        return kp, vp, samples
+        return kp, vp, ks, vs, samples
 
-    # only the manual ('pipe') axis may appear in the specs; the engine
-    # rejects pipe x model/expert composition, so heads stay unsharded
+    # the manual axis is 'pipe' only: model/expert sharding on the pool,
+    # scale and weight dims stays GSPMD-automatic inside each stage
     pool_spec = P(PIPE, None, None, None, None)
-    kp, vp, samples = jax.shard_map(
+    if not quant:
+        # zero-size placeholders keep ring_fn's signature uniform (their
+        # values are never read when quant is False)
+        kscale = jnp.zeros((0,), jnp.float32)
+        vscale = jnp.zeros((0,), jnp.float32)
+    scale_spec = pool_spec if quant else P()
+    kp, vp, kscale, vscale, samples = jax.shard_map(
         ring_fn,
         mesh=mesh,
-        in_specs=(P(PIPE), P(), pool_spec, pool_spec, P(), P(), P(), P(),
-                  P(), P(), P(), P()),
-        out_specs=(pool_spec, pool_spec, P()),
+        in_specs=(P(PIPE), P(), pool_spec, pool_spec, scale_spec, scale_spec,
+                  P(), P(), P(), P(), P(), P(), P(), P()),
+        out_specs=(pool_spec, pool_spec, scale_spec, scale_spec, P()),
         axis_names={PIPE},
-    )(llm_params["layers"], head, kp, vp, table, pos, active, temps, topks,
-      topps, x0, subkeys)
+    )(llm_params["layers"], head, kp, vp, kscale, vscale, table, pos, active,
+      temps, topks, topps, x0, subkeys)
 
     samples = samples.transpose(0, 2, 1)  # [W, Bw, chunk_len]
     # fed-token convention (sampling.decode_chunk): emit the token FED at
     # each step; the last step's sample is the next chunk's carry
     toks_fed = jnp.concatenate([tok[:, :, None], samples[:, :, :-1]], axis=2)
     next_tok = samples[:, :, -1]
+    if quant:
+        return (kp, vp, toks_fed, next_tok, pos + chunk_len, new_key,
+                kscale, vscale)
     return kp, vp, toks_fed, next_tok, pos + chunk_len, new_key

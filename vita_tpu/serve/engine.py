@@ -326,11 +326,6 @@ class Engine:
         # test_pp_sync_two_lifecycles_token_identical.
         self._pp_sync = self._pp > 1 and jax.default_backend() != "tpu"
         self.kv_int8 = bool(kv_int8)
-        if self.kv_int8 and self._pp > 1:
-            raise ValueError(
-                "kv_int8 is not supported with pipeline-parallel serving "
-                "yet (the pp_serving programs carry the bf16 pool only)"
-            )
         self.params = params
         self.cfg = cfg
         self.mesh = mesh
@@ -1267,15 +1262,21 @@ class Engine:
             tok_in = self._tok_dev.reshape(s_waves, bw)
             parts = []
             for _ in range(ticks):
-                kp, vp, toks, next_tok, pos_out, self._key = pp_decode_chunk(
+                got = pp_decode_chunk(
                     self._decode_llm, self.cache["k_pages"],
                     self.cache["v_pages"], table_d,
                     tok_in, pos_d, active_d,
                     temps_d, topk_d, topp_d, self._key,
+                    self.cache.get("k_scale"), self.cache.get("v_scale"),
                     llm_cfg=self._decode_cfg,
                     chunk_len=self.decode_chunk_len,
                     sampling_mode=mode, mesh=self.mesh,
                 )
+                if self.kv_int8:
+                    (kp, vp, toks, next_tok, pos_out, self._key,
+                     self.cache["k_scale"], self.cache["v_scale"]) = got
+                else:
+                    kp, vp, toks, next_tok, pos_out, self._key = got
                 parts.append(toks)
                 tok_in = next_tok
                 pos_d = pos_out
