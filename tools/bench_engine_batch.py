@@ -62,9 +62,12 @@ def main() -> None:
     }
 
     n_slots = max(args.slots)
+    # int8 pools need page_size=128 for the Pallas kernel path (the scale
+    # row DMA must be lane-aligned; ops/paged_attention.py dispatcher)
     eng = Engine(params, cfg, n_slots=n_slots, max_len=512,
                  decode_moe_mode=args.moe_mode, prompt_buckets=(128,),
-                 kv_int8=args.kv_int8)
+                 kv_int8=args.kv_int8,
+                 page_size=128 if args.kv_int8 else 64)
 
     results = {}
     for n in args.slots:

@@ -2,16 +2,25 @@
 
 Times fwd+bwd of a Mixtral train step at stage-3 token volume (batch 8 x
 seq 4096, reduced to 2 full-width layers — the 32L model needs the v5e-8
-slice) for the 'dense' and 'sort' MoE modes. 'capacity' is omitted by
-default: its [T, E, C] one-hot dispatch tensor at these shapes is ~10 GB
-per layer and OOMs a single chip — which is exactly why 'sort' exists.
+slice) for the requested MoE modes. 'capacity' is omitted by default:
+its [T, E, C] one-hot dispatch tensor at these shapes is ~10 GB per
+layer and OOMs a single chip — which is exactly why 'sort' exists.
 
-Prints one JSON line.
+`--ladder` walks token-volume shapes downward per mode and records the
+LARGEST shape the remote compile helper accepts (the r4/r5 helper 500s
+on big fwd+bwd programs; this charts the floor instead of silently
+shipping a toy number). `--attn xla` bisects whether the flash-attention
+backward Pallas kernels are the crash trigger.
+
+Prints one JSON line per measurement.
 """
 
 import argparse
 import json
 import time
+
+LADDER = [(8, 4096), (4, 4096), (8, 2048), (4, 2048), (8, 1024),
+          (2, 2048), (4, 1024), (2, 1024)]
 
 
 def main() -> None:
@@ -20,6 +29,14 @@ def main() -> None:
     p.add_argument("--seq", type=int, default=4096)
     p.add_argument("--layers", type=int, default=2)
     p.add_argument("--modes", nargs="*", default=["dense", "sort"])
+    p.add_argument("--attn", default="flash", choices=["flash", "xla"],
+                   help="xla isolates whether the flash-attention bwd "
+                        "Pallas kernels are what crashes the remote "
+                        "compile helper on large programs")
+    p.add_argument("--ladder", action="store_true",
+                   help="walk token-volume shapes downward per mode and "
+                        "record the largest that compiles (the VERDICT r4 "
+                        "fallback: characterize the floor)")
     p.add_argument("--save", action="store_true",
                    help="write bench_results/train_moe.json (merged into "
                         "bench.py extras as recorded_train_*)")
@@ -29,7 +46,6 @@ def main() -> None:
 
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from vita_tpu.models import mixtral
     from vita_tpu.parallel.distributed import enable_compile_cache
@@ -40,20 +56,18 @@ def main() -> None:
     # this token volume and OOMs the single chip; expert cost is unchanged.
     base = mixtral.MixtralConfig(
         n_layers=args.layers, vocab_size=8192, dtype=jnp.bfloat16, remat=True,
-        attn_backend="flash",
+        attn_backend=args.attn,
     )
     params = mixtral.init_params(jax.random.PRNGKey(0), base)
-    ids = jax.random.randint(
-        jax.random.PRNGKey(1), (args.batch, args.seq), 0, base.vocab_size
-    )
-    labels = jnp.roll(ids, -1, axis=1)
+    e_flops = 3 * 2 * base.d_model * base.d_ff  # per token per expert (fwd)
 
-    t_tokens = args.batch * args.seq
-    # active expert FLOPs per mode (fwd), for a utilization readout
-    e_flops = 3 * 2 * base.d_model * base.d_ff  # per token per expert
-    results = {}
-    for mode in args.modes:
+    def measure(mode, batch, seq):
+        """(step_s, moe_tflops) or raises on compile/OOM failure."""
         cfg = dataclasses.replace(base, moe_mode=mode)
+        ids = jax.random.randint(
+            jax.random.PRNGKey(1), (batch, seq), 0, base.vocab_size
+        )
+        labels = jnp.roll(ids, -1, axis=1)
 
         def loss_fn(p):
             logits, _, aux = mixtral.forward(p, cfg, input_ids=ids)
@@ -73,29 +87,49 @@ def main() -> None:
             t0 = time.time()
             s = None
             for _ in range(n):
-                s = step(params)
+                s = step(p_arg)
             _ = float(s)
             return time.time() - t0
 
-        try:
-            run(1)  # compile
-            a, b = run(1), run(3)
-            per_step = (b - a) / 2
-            experts_used = base.n_experts if mode == "dense" else base.top_k
-            flops = 3 * t_tokens * experts_used * e_flops * args.layers  # fwd+bwd
+        p_arg = params
+        run(1)  # compile
+        a, b = run(1), run(3)
+        per_step = (b - a) / 2
+        experts_used = base.n_experts if mode == "dense" else base.top_k
+        flops = 3 * batch * seq * experts_used * e_flops * args.layers
+        return per_step, flops / per_step / 1e12
+
+    results = {}
+    shapes = LADDER if args.ladder else [(args.batch, args.seq)]
+    for mode in args.modes:
+        for batch, seq in shapes:
+            try:
+                per_step, tflops = measure(mode, batch, seq)
+            except Exception as e:  # compile 500 / OOM — step down
+                line = {"mode": mode, "batch": batch, "seq": seq,
+                        "error": str(e)[:100]}
+                print(json.dumps(line), flush=True)
+                results.setdefault(f"{mode}_failed_shapes", []).append(
+                    f"{batch}x{seq}"
+                )
+                continue
             results[f"{mode}_step_s"] = round(per_step, 3)
-            results[f"{mode}_moe_tflops"] = round(flops / per_step / 1e12, 1)
-        except Exception as e:  # OOM etc.
-            results[f"{mode}_error"] = str(e)[:120]
+            results[f"{mode}_moe_tflops"] = round(tflops, 1)
+            results[f"{mode}_batch"] = batch
+            results[f"{mode}_seq"] = seq
+            print(json.dumps({"mode": mode, "batch": batch, "seq": seq,
+                              "step_s": round(per_step, 3),
+                              "moe_tflops": round(tflops, 1)}), flush=True)
+            break  # largest compiling shape recorded; stop the ladder
 
     if "dense_step_s" in results and "sort_step_s" in results:
         results["sort_speedup_vs_dense"] = round(
             results["dense_step_s"] / results["sort_step_s"], 2
         )
     out = {
-        "metric": "moe_train_step",
-        "batch": args.batch, "seq": args.seq, "layers": args.layers,
-        **results,
+        "metric": "moe_train_step", "attn": args.attn,
+        "layers": args.layers,
+        **{k: v for k, v in results.items()},
     }
     print(json.dumps(out))
     measured = any(k.endswith("_moe_tflops") for k in results)

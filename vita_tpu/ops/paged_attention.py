@@ -249,7 +249,14 @@ def paged_attention(
     interpret_forced = (
         _jax_config.pallas_tpu_interpret_mode_context_manager.value is not None
     )
-    if (jax.default_backend() != "tpu" and not interpret_forced) or d % 128:
+    if (
+        (jax.default_backend() != "tpu" and not interpret_forced)
+        or d % 128
+        # int8 pools additionally DMA (1, page) scale rows, whose LAST dim
+        # must be lane-aligned — the Pallas int8 path needs page_size=128
+        # (DEPLOY.md); other page sizes take the XLA twin
+        or (k_scale is not None and page_size % 128)
+    ):
         # the Pallas kernel DMAs [page, d] slices which Mosaic requires
         # lane-aligned (d % 128 == 0); small test/demo head dims take the
         # XLA twin on real TPUs too
