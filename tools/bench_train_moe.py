@@ -37,9 +37,19 @@ def main() -> None:
                    help="walk token-volume shapes downward per mode and "
                         "record the largest that compiles (the VERDICT r4 "
                         "fallback: characterize the floor)")
+    p.add_argument("--accum", type=int, default=1,
+                   help="grad-accumulation microbatches INSIDE the jitted "
+                        "step (lax.scan): the compiled program is one "
+                        "microbatch's fwd+bwd, so the helper's program-"
+                        "size limit stops capping the step's token volume "
+                        "— this is also the reference's real regime "
+                        "(micro-bs 8 x grad-accum 2, "
+                        "finetuneTask_nodes.sh:48-51)")
     p.add_argument("--save", action="store_true",
                    help="write bench_results/train_moe.json (merged into "
                         "bench.py extras as recorded_train_*)")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny geometry (CPU validation; do not --save)")
     args = p.parse_args()
 
     import dataclasses
@@ -54,10 +64,15 @@ def main() -> None:
 
     # vocab shrunk: the full 51760-row fp32 logits tensor alone is ~7 GB at
     # this token volume and OOMs the single chip; expert cost is unchanged.
-    base = mixtral.MixtralConfig(
-        n_layers=args.layers, vocab_size=8192, dtype=jnp.bfloat16, remat=True,
-        attn_backend=args.attn,
-    )
+    if args.tiny:
+        base = mixtral.MixtralConfig.tiny(
+            n_layers=args.layers, remat=True, attn_backend=args.attn
+        )
+    else:
+        base = mixtral.MixtralConfig(
+            n_layers=args.layers, vocab_size=8192, dtype=jnp.bfloat16,
+            remat=True, attn_backend=args.attn,
+        )
     params = mixtral.init_params(jax.random.PRNGKey(0), base)
     e_flops = 3 * 2 * base.d_model * base.d_ff  # per token per expert (fwd)
 
@@ -69,17 +84,41 @@ def main() -> None:
         )
         labels = jnp.roll(ids, -1, axis=1)
 
-        def loss_fn(p):
-            logits, _, aux = mixtral.forward(p, cfg, input_ids=ids)
+        def loss_fn(p, mb_ids, mb_labels):
+            logits, _, aux = mixtral.forward(p, cfg, input_ids=mb_ids)
             lse = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-            ce = -jnp.take_along_axis(lse, labels[..., None], axis=-1).mean()
+            ce = -jnp.take_along_axis(
+                lse, mb_labels[..., None], axis=-1
+            ).mean()
             return ce + cfg.router_aux_loss_coef * aux
+
+        accum = args.accum
+        if batch % accum:
+            raise ValueError(f"batch {batch} % accum {accum}")
 
         # return only a scalar: holding a full 5.6 GB grad tree across
         # iterations would double-buffer grads and OOM the chip
         @jax.jit
         def step(p):
-            g = jax.grad(loss_fn)(p)
+            if accum == 1:
+                g = jax.grad(loss_fn)(p, ids, labels)
+                return sum(jnp.sum(jnp.square(x.astype(jnp.float32)))
+                           for x in jax.tree.leaves(g))
+            # grad accumulation: real training's regime AND the lever that
+            # takes the step's token volume past the compile helper's
+            # program-size ceiling. The grad tree rides the scan carry in
+            # bf16 (a f32 carry would not fit next to the bf16 params).
+            mb_ids = ids.reshape(accum, batch // accum, seq)
+            mb_labels = labels.reshape(accum, batch // accum, seq)
+
+            def body(g, xs):
+                gi = jax.grad(loss_fn)(p, xs[0], xs[1])
+                return jax.tree.map(
+                    lambda a, b: a + b.astype(a.dtype), g, gi
+                ), None
+
+            g0 = jax.tree.map(jnp.zeros_like, p)
+            g, _ = jax.lax.scan(body, g0, (mb_ids, mb_labels))
             return sum(jnp.sum(jnp.square(x.astype(jnp.float32)))
                        for x in jax.tree.leaves(g))
 
@@ -128,7 +167,7 @@ def main() -> None:
         )
     out = {
         "metric": "moe_train_step", "attn": args.attn,
-        "layers": args.layers,
+        "layers": args.layers, "grad_accum": args.accum,
         **{k: v for k, v in results.items()},
     }
     print(json.dumps(out))
