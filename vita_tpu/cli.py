@@ -91,11 +91,15 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--decode-moe-mode", default=None,
                    choices=["dense", "capacity", "gather", "gather_q", "gather_q4"],
                    help="MoE path for decode steps (default: inherit model config)")
-    p.add_argument("--mesh", type=int, nargs=2, metavar=("EXPERT", "MODEL"),
+    p.add_argument("--mesh", type=int, nargs="+", metavar="AX",
                    default=None,
-                   help="TP/EP mesh for inference (expert model), e.g. "
-                        "--mesh 4 2 on a v5e-8: routes through the sharded "
-                        "Engine so the full 8x7B fits")
+                   help="serving mesh EXPERT MODEL [PIPE], e.g. --mesh 4 2 "
+                        "on a v5e-8 (TP/EP) or --mesh 2 2 2 (pipeline "
+                        "stages OF TP/EP shards): routes through the "
+                        "sharded Engine so the full 8x7B fits")
+    p.add_argument("--kv-int8", action="store_true",
+                   help="int8 KV cache pages (~1.94x pooled context per "
+                        "HBM byte; near-bf16 outputs)")
     p.add_argument("--prefill-moe-mode", default=None,
                    choices=["dense", "capacity", "sort", "gmm"],
                    help="MoE dispatch for the prefill pass: gmm = grouped "
@@ -204,21 +208,32 @@ def main(argv: Optional[List[str]] = None) -> int:
         if first_token_t[0] is None:
             first_token_t[0] = time.time()
 
-    if args.mesh is not None:
-        # sharded path: the serving Engine carries the TP/EP mesh (params +
-        # paged KV pool sharded, per-shard Pallas kernels)
+    if args.mesh is not None or args.kv_int8:
+        # sharded path: the serving Engine carries the TP/EP(/PP) mesh
+        # (params + paged KV pool sharded, per-shard Pallas kernels)
         import jax as _jax
 
-        from vita_tpu.parallel.mesh import make_mesh
         from vita_tpu.serve.engine import Engine, Request
 
-        expert, model_ax = args.mesh
-        mesh = make_mesh(shape=(1, 1, expert, model_ax),
-                         devices=_jax.devices()[: expert * model_ax])
-        eng = Engine(params, cfg, n_slots=1, max_len=args.max_len, mesh=mesh,
+        mesh = None
+        pipe = 1
+        if args.mesh is not None:
+            from vita_tpu.parallel.mesh import make_mesh
+
+            if len(args.mesh) not in (2, 3):
+                raise SystemExit("--mesh takes EXPERT MODEL [PIPE]")
+            expert, model_ax = args.mesh[0], args.mesh[1]
+            pipe = args.mesh[2] if len(args.mesh) == 3 else 1
+            n_dev = expert * model_ax * pipe
+            mesh = make_mesh(shape=(1, 1, expert, model_ax, pipe),
+                             devices=_jax.devices()[:n_dev])
+        eng = Engine(params, cfg, n_slots=max(1, pipe),
+                     max_len=args.max_len, mesh=mesh,
                      decode_chunk_len=args.chunk_len,
                      decode_moe_mode=args.decode_moe_mode,
-                     prefill_moe_mode=args.prefill_moe_mode)
+                     prefill_moe_mode=args.prefill_moe_mode,
+                     kv_int8=args.kv_int8,
+                     page_size=128 if args.kv_int8 else 64)
         t1 = time.time()
         req = Request(
             input_ids=safe,

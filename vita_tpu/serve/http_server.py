@@ -619,12 +619,16 @@ def main(argv=None) -> int:
                    help="multi-turn handling for session_id requests: replay "
                         "re-sends history media; interactive drops history "
                         "vision and fronts image tokens")
-    p.add_argument("--mesh", type=int, nargs=2, metavar=("EXPERT", "MODEL"),
+    p.add_argument("--mesh", type=int, nargs="+", metavar="AX",
                    default=None,
-                   help="TP/EP serving mesh (expert model), e.g. --mesh 4 2 "
+                   help="serving mesh EXPERT MODEL [PIPE], e.g. --mesh 4 2 "
                         "on a v5e-8: shards params + the paged KV pool so "
                         "the full 8x7B fits (the reference serves with vLLM "
-                        "tensor_parallel_size=2)")
+                        "tensor_parallel_size=2); a third value adds "
+                        "pipeline stages composed OF the TP/EP shards")
+    p.add_argument("--kv-int8", action="store_true",
+                   help="int8 KV cache pages (~1.94x pooled context per "
+                        "HBM byte; near-bf16 outputs; uses 128-token pages)")
     p.add_argument("--decode-ticks", type=int, default=4,
                    help="decode chunks chained per host loop in pure-decode "
                         "phases (higher = less host overhead per token, "
@@ -664,14 +668,22 @@ def main(argv=None) -> int:
         bos_id, eos_id = hf_tok.bos_token_id, hf_tok.eos_token_id
 
     mesh = None
+    n_slots = args.slots
     if args.mesh is not None:
         from vita_tpu.parallel.mesh import make_mesh
 
-        expert, model = args.mesh
-        mesh = make_mesh(shape=(1, 1, expert, model),
-                         devices=jax.devices()[: expert * model])
-    engine = Engine(params, cfg, n_slots=args.slots, max_len=args.max_len,
-                    mesh=mesh, decode_ticks=args.decode_ticks)
+        if len(args.mesh) not in (2, 3):
+            raise SystemExit("--mesh takes EXPERT MODEL [PIPE]")
+        expert, model = args.mesh[0], args.mesh[1]
+        pipe = args.mesh[2] if len(args.mesh) == 3 else 1
+        mesh = make_mesh(shape=(1, 1, expert, model, pipe),
+                         devices=jax.devices()[: expert * model * pipe])
+        if pipe > 1 and n_slots % pipe:
+            n_slots = -(-n_slots // pipe) * pipe  # one wave per stage
+    engine = Engine(params, cfg, n_slots=n_slots, max_len=args.max_len,
+                    mesh=mesh, decode_ticks=args.decode_ticks,
+                    kv_int8=args.kv_int8,
+                    page_size=128 if args.kv_int8 else 64)
     warmup = args.warmup
     if warmup is None:
         warmup = args.model != "tiny-random"
