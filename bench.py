@@ -66,6 +66,8 @@ def _load_recorded() -> dict:
     for fname, prefix in (("whale_rtf.json", "recorded_audio_"),
                           ("profile_decode.json", "recorded_profile_"),
                           ("train_moe.json", "recorded_train_"),
+                          ("train_moe_split.json", "recorded_train_split_"),
+                          ("prefill_moe.json", "recorded_prefillmoe_"),
                           ("engine_batch.json", "recorded_batch_"),
                           ("masked_moe.json", "recorded_masked_"),
                           ("engine_concurrency.json", "recorded_conc_"),

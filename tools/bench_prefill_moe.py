@@ -55,12 +55,23 @@ def time_mode(params, cfg, x, cache_len):
 
 
 def main():
+    import argparse
+    import json
+    import os
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--save", action="store_true",
+                    help="write bench_results/prefill_moe.json (merged "
+                         "into bench.py extras as recorded_prefillmoe_*)")
+    args = ap.parse_args()
+
     enable_compile_cache()
     base = mixtral.MixtralConfig(
         n_layers=N_LAYERS, moe_mode="dense", dtype=jnp.bfloat16
     )
     params = mixtral.init_params(jax.random.PRNGKey(0), base)
 
+    out = {"metric": "prefill_moe_mode", "layers": N_LAYERS}
     for t_len in (256, 512, 1024):
         ids = jnp.ones((1, t_len), jnp.int32)
         row = {}
@@ -69,11 +80,21 @@ def main():
             try:
                 dt = time_mode(params, cfg, ids, t_len)
                 row[mode] = dt * 1000
+                out[f"{mode}_ms_t{t_len}"] = round(dt * 1000, 2)
             except Exception as e:  # noqa: BLE001 - report and continue
                 row[mode] = f"FAIL {type(e).__name__}: {e}"[:120]
         print(f"T={t_len}: " + "  ".join(
             f"{m}={v:.2f}ms" if isinstance(v, float) else f"{m}={v}"
             for m, v in row.items()), flush=True)
+
+    measured = any(k.endswith("_ms_t1024") for k in out)
+    if args.save and measured:
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "bench_results",
+            "prefill_moe.json")
+        with open(path, "w") as f:
+            json.dump(out, f)
+        print("wrote", path)
 
 
 if __name__ == "__main__":

@@ -12,6 +12,18 @@ on big fwd+bwd programs; this charts the floor instead of silently
 shipping a toy number). `--attn xla` bisects whether the flash-attention
 backward Pallas kernels are the crash trigger.
 
+`--split-layers` dispatches the step as PER-LAYER programs instead of
+one fused graph: one compiled layer-forward and one layer-(fwd+bwd)
+program shared by every layer (plus a tiny head/embed pair), chained
+asynchronously from the host exactly like the engine's decode chain.
+Each program holds ONE layer's buffers, so the remote helper's
+program-size ceiling caps the per-LAYER token volume, not the step's —
+and the gmm mode runs the direct per-layer kernel path (no scan-sliced
+stacked weights, no uint views), sidestepping whatever the helper
+rejects about the fused gmm_scan bwd. This is also how a pipeline
+runtime actually dispatches training, so the number is a legitimate
+step throughput, not a microbench.
+
 Prints one JSON line per measurement.
 """
 
@@ -45,6 +57,13 @@ def main() -> None:
                         "— this is also the reference's real regime "
                         "(micro-bs 8 x grad-accum 2, "
                         "finetuneTask_nodes.sh:48-51)")
+    p.add_argument("--debug-compile", action="store_true",
+                   help="with --split-layers: compile/run each program "
+                        "separately with progress prints to stderr")
+    p.add_argument("--split-layers", action="store_true",
+                   help="dispatch per-layer programs (shared compiles) "
+                        "instead of one fused step graph; saves to "
+                        "train_moe_split.json")
     p.add_argument("--save", action="store_true",
                    help="write bench_results/train_moe.json (merged into "
                         "bench.py extras as recorded_train_*)")
@@ -55,6 +74,10 @@ def main() -> None:
     import dataclasses
 
     import jax
+
+    if args.tiny:
+        # CPU validation run (the axon plugin is absent off the TPU host)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from vita_tpu.models import mixtral
@@ -138,12 +161,159 @@ def main() -> None:
         flops = 3 * batch * seq * experts_used * e_flops * args.layers
         return per_step, flops / per_step / 1e12
 
+    def measure_split(mode, batch, seq):
+        """Per-layer-program step: (step_s, moe_tflops) or raises.
+
+        Layer weights are initialized per layer (never stacked), so the
+        gmm mode hits the direct `ops.moe_gmm.gmm` kernel path with real
+        [E,D,F] arrays — the scan-era uint-view machinery (the programs
+        the compile helper 500s on) never enters the graph.
+        """
+        from vita_tpu.models.mixtral import _attention_block, rms_norm
+        from vita_tpu.ops.moe import moe_ffn
+
+        cfg = dataclasses.replace(base, moe_mode=mode)
+        nl = args.layers
+        cfg1 = dataclasses.replace(cfg, n_layers=1)
+        # per-layer init with eager leaf-by-leaf slicing: the [1, ...]
+        # stacked original is freed the moment its slice exists, so the
+        # transient HBM peak is one layer + ~one matrix, not 2x the
+        # resident weights (a 16 GB chip holds 2 full-width layers plus
+        # grads with little slack)
+        lps, hp, embed = [], None, None
+        for li in range(nl):
+            p1 = mixtral.init_params(jax.random.PRNGKey(10 + li), cfg1)
+            if li == 0:
+                hp = {"ln_final": p1["ln_final"], "lm_head": p1["lm_head"]}
+                embed = p1["embed"]
+            stk = p1.pop("layers")
+            del p1
+            flat, td = jax.tree.flatten(stk)
+            del stk
+            sliced = []
+            for i in range(len(flat)):
+                sliced.append(flat[i][0])
+                flat[i] = None
+            lps.append(jax.tree.unflatten(td, sliced))
+
+        ids = jax.random.randint(
+            jax.random.PRNGKey(1), (batch, seq), 0, base.vocab_size
+        )
+        labels = jnp.roll(ids, -1, axis=1)
+        positions = jnp.broadcast_to(jnp.arange(seq)[None, :], (batch, seq))
+        valid = jnp.ones((batch, seq), bool)
+        d = cfg.d_model
+
+        def layer_step(lp, x):
+            h = rms_norm(x, lp["ln_attn"], cfg.rms_eps)
+            attn_out, _, _ = _attention_block(
+                lp["attn"], cfg, h, positions, valid, None, None, None
+            )
+            x = x + attn_out
+            h = rms_norm(x, lp["ln_moe"], cfg.rms_eps)
+            moe_out, aux = moe_ffn(
+                lp["moe"], h.reshape(batch * seq, d), cfg.top_k,
+                mode=mode, capacity_factor=cfg.moe_capacity_factor,
+            )
+            return x + moe_out.reshape(batch, seq, d), aux
+
+        def layer_bwd_fn(lp, x, ct):
+            (_, aux), vjp = jax.vjp(layer_step, lp, x)
+            g_lp, g_x = vjp(
+                (ct, jnp.asarray(cfg.router_aux_loss_coef, aux.dtype))
+            )
+            # reduce the per-layer grad tree to a scalar INSIDE the
+            # program: the full tree never round-trips through HBM as a
+            # program output (a real optimizer would consume it here)
+            ss = sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
+                     for g in jax.tree.leaves(g_lp))
+            return ss, g_x
+
+        def head_bwd_fn(hp, x, mb_labels):
+            def head_loss(hp, x):
+                h = rms_norm(x, hp["ln_final"], cfg.rms_eps)
+                logits = h @ hp["lm_head"]
+                lse = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+                return -jnp.take_along_axis(
+                    lse, mb_labels[..., None], axis=-1
+                ).mean()
+
+            loss, (g_hp, g_x) = jax.value_and_grad(
+                head_loss, argnums=(0, 1)
+            )(hp, x)
+            ss = sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
+                     for g in jax.tree.leaves(g_hp))
+            return loss, ss, g_x
+
+        def embed_bwd_fn(ct):
+            g = jnp.zeros(
+                (base.vocab_size, d), jnp.float32
+            ).at[ids.reshape(-1)].add(ct.reshape(-1, d).astype(jnp.float32))
+            return jnp.sum(jnp.square(g))
+
+        fwd_p = jax.jit(layer_step)
+        # ct is consumed by each layer's bwd (the returned g_x replaces
+        # it) — donating it halves the live cotangent buffers
+        bwd_p = jax.jit(layer_bwd_fn, donate_argnums=(2,))
+        head_p = jax.jit(head_bwd_fn, donate_argnums=(1,))
+        emb_fwd_p = jax.jit(lambda e: jnp.take(e, ids, axis=0))
+        emb_bwd_p = jax.jit(embed_bwd_fn, donate_argnums=(0,))
+
+        def step():
+            x = emb_fwd_p(embed)
+            xs = []
+            for li in range(nl):
+                xs.append(x)
+                x, _ = fwd_p(lps[li], x)
+            _, total, ct = head_p(hp, x, labels)
+            del x
+            for li in reversed(range(nl)):
+                ssl, ct = bwd_p(lps[li], xs[li], ct)
+                xs[li] = None  # free the residual input as soon as used
+                total = total + ssl
+            return total + emb_bwd_p(ct)
+
+        def run(n):
+            t0 = time.time()
+            s = None
+            for _ in range(n):
+                s = step()
+            _ = float(s)
+            return time.time() - t0
+
+        if args.debug_compile:
+            import sys
+
+            x = emb_fwd_p(embed)
+            _ = float(x[0, 0, 0])  # host readback = the only axon sync
+            print("emb_fwd ok", file=sys.stderr, flush=True)
+            y, _aux = fwd_p(lps[0], x)
+            _ = float(y[0, 0, 0])
+            print("layer_fwd ok", file=sys.stderr, flush=True)
+            _, ss, ct = head_p(hp, y, labels)
+            _ = float(ss)
+            print("head_bwd ok", file=sys.stderr, flush=True)
+            ssl, ct = bwd_p(lps[0], x, ct)
+            _ = float(ssl)
+            print("layer_bwd ok", file=sys.stderr, flush=True)
+            _ = float(emb_bwd_p(ct))
+            print("emb_bwd ok", file=sys.stderr, flush=True)
+            del x, y, ct
+
+        run(1)  # compile (5 programs, shared across layers)
+        a, b = run(1), run(3)
+        per_step = (b - a) / 2
+        experts_used = base.n_experts if mode == "dense" else base.top_k
+        flops = 3 * batch * seq * experts_used * e_flops * nl
+        return per_step, flops / per_step / 1e12
+
     results = {}
     shapes = LADDER if args.ladder else [(args.batch, args.seq)]
+    meas = measure_split if args.split_layers else measure
     for mode in args.modes:
         for batch, seq in shapes:
             try:
-                per_step, tflops = measure(mode, batch, seq)
+                per_step, tflops = meas(mode, batch, seq)
             except Exception as e:  # compile 500 / OOM — step down
                 line = {"mode": mode, "batch": batch, "seq": seq,
                         "error": str(e)[:100]}
@@ -151,6 +321,13 @@ def main() -> None:
                 results.setdefault(f"{mode}_failed_shapes", []).append(
                     f"{batch}x{seq}"
                 )
+                # a genuine OOM must not cascade into the next rung: drop
+                # the cached executables (and with them the exception
+                # frames' array references) before retrying smaller
+                import gc
+
+                jax.clear_caches()
+                gc.collect()
                 continue
             results[f"{mode}_step_s"] = round(per_step, 3)
             results[f"{mode}_moe_tflops"] = round(tflops, 1)
@@ -168,6 +345,7 @@ def main() -> None:
     out = {
         "metric": "moe_train_step", "attn": args.attn,
         "layers": args.layers, "grad_accum": args.accum,
+        "dispatch": "per_layer_programs" if args.split_layers else "fused",
         **{k: v for k, v in results.items()},
     }
     print(json.dumps(out))
@@ -178,8 +356,10 @@ def main() -> None:
     if args.save and measured:
         import os
 
+        fname = ("train_moe_split.json" if args.split_layers
+                 else "train_moe.json")
         path = os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "bench_results", "train_moe.json")
+            os.path.abspath(__file__))), "bench_results", fname)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "w") as f:
             json.dump(out, f)
