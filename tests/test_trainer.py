@@ -152,3 +152,31 @@ def test_evaluate_perplexity(tiny_cfg, tmp_path):
     m = evaluate(params, tiny_cfg, ds, Collator(pad_id=PAD, buckets=(512,)), batch_size=2)
     assert m["eval_tokens"] > 0
     assert 1.0 < m["eval_ppl"] < tiny_cfg.llm.vocab_size * 10
+
+
+@pytest.mark.slow
+def test_split_dispatch_train_bench_tiny():
+    """The per-layer-program train bench (tools/bench_train_moe.py
+    --split-layers) must produce a throughput number on the CPU backend:
+    it is the only dispatch whose token volume clears the axon compile
+    helper's fused-program ceiling, so its harness (shared per-layer
+    fwd/vjp programs, eager leaf-freed init, donated cotangent chain)
+    needs CI coverage off-chip."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "bench_train_moe.py"),
+         "--tiny", "--split-layers", "--attn", "xla", "--modes", "sort",
+         "--batch", "2", "--seq", "64", "--layers", "2"],
+        cwd=repo, capture_output=True, text=True, timeout=600,
+        env={**os.environ, "PYTHONPATH": repo},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    final = json.loads(lines[-1])
+    assert final["dispatch"] == "per_layer_programs"
+    assert final["sort_step_s"] > 0
