@@ -361,6 +361,20 @@ def main() -> None:
         path = os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "bench_results", fname)
         os.makedirs(os.path.dirname(path), exist_ok=True)
+        # split-dispatch runs must be one fresh process per shape (the
+        # stacked-init slicing peak OOMs if other arrays linger), so each
+        # mode arrives in its own process — merge into the existing file
+        # instead of clobbering the other mode's measurement
+        if os.path.exists(path):
+            try:
+                with open(path) as f:
+                    prev = json.load(f)
+            except (OSError, ValueError):
+                prev = {}
+            merged = {k: v for k, v in prev.items()
+                      if not k.endswith("_failed_shapes")}
+            merged.update(out)
+            out = merged
         with open(path, "w") as f:
             json.dump(out, f)
         print("wrote", path)
