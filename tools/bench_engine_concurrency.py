@@ -19,8 +19,14 @@ def main() -> None:
     p.add_argument("--save", action="store_true",
                    help="write bench_results/engine_concurrency.json (merged "
                         "into bench.py extras as recorded_conc_*)")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny geometry on CPU (logic validation; do not "
+                        "--save)")
     flags = p.parse_args()
     import jax
+
+    if flags.tiny:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
@@ -31,7 +37,10 @@ def main() -> None:
 
     enable_compile_cache()
 
-    llm = mixtral.MixtralConfig(n_layers=2, moe_mode="dense", dtype=jnp.bfloat16)
+    if flags.tiny:
+        llm = mixtral.MixtralConfig.tiny(n_layers=2)
+    else:
+        llm = mixtral.MixtralConfig(n_layers=2, moe_mode="dense", dtype=jnp.bfloat16)
     cfg = vita.VITAConfig(
         llm=llm, vision=internvit.InternViTConfig.tiny(),
         audio=whale.WhaleConfig.tiny(),
@@ -115,6 +124,44 @@ def main() -> None:
         "pool_pages_b": pages_needed(900 + 16, eng.page_size),
         "pool_linear_equivalent_pages": 4 * pages_needed(max_len, eng.page_size),
     }
+
+    # -- pool-pressure concurrency (VERDICT r4 item 6 done-check) ----------
+    # A pool that holds only TWO worst-case reservations must still run all
+    # four requests simultaneously under lazy growth (admission reserves
+    # prompt pages only; decode pages grow per chunk; pressure evicts
+    # caches then preempts the newest slot). The r4 engine's worst-case
+    # admission gate would have capped concurrency at
+    # floor(pool / worst_case) — that is the "linear equivalent" slots.
+    del eng
+    prompt_len, max_new = 100, 160
+    worst = pages_needed(prompt_len + max_new, 64)  # 5 pages of 64
+    pool = 2 * worst  # two worst cases; four requests contend
+    eng2 = Engine(params, cfg, n_slots=4, max_len=max_len,
+                  decode_moe_mode="gather", page_size=64,
+                  prefill_chunk=256, decode_chunk_len=8,
+                  total_pages=pool, prompt_buckets=(128, 1024))
+    reqs = [Request(input_ids=np.arange(2, 2 + prompt_len, dtype=np.int32),
+                    max_new_tokens=max_new, eos_id=-1) for _ in range(4)]
+    t0 = time.time()
+    for r in reqs:
+        eng2.submit(r)
+    max_active = 0
+    while any(r.finish_time == 0.0 for r in reqs):
+        eng2.step()
+        max_active = max(max_active, eng2.active_count())
+        if time.time() - t0 > 600:
+            raise RuntimeError("pressure section stalled")
+    pressure_wall = time.time() - t0
+    out.update({
+        "pressure_pool_pages": pool,
+        "pressure_worstcase_pages_per_req": worst,
+        "pressure_linear_equivalent_slots": pool // worst,
+        "pressure_max_active_slots": max_active,
+        "pressure_preemptions": int(eng2.stats()["preemptions"]),
+        "pressure_all_finished": int(all(len(r.tokens) == max_new
+                                         for r in reqs)),
+        "pressure_wall_s": round(pressure_wall, 2),
+    })
     print(json.dumps(out))
     if flags.save:
         path = os.path.join(os.path.dirname(os.path.dirname(
