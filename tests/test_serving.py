@@ -8,7 +8,7 @@ import jax
 from vita_tpu.generate import GenerationConfig, Generator
 from vita_tpu.models import vita
 from vita_tpu.serve.duplex import DuplexConfig, DuplexController
-from vita_tpu.serve.engine import Engine, Request
+from vita_tpu.serve.engine import Engine, EngineThread, Request
 from vita_tpu.serve.vad import (
     CHUNK_SAMPLES,
     SAMPLE_RATE,
@@ -811,7 +811,8 @@ def test_duplex_threaded_stress(tiny):
 
     cfg, params = tiny
     engines = [Engine(params, cfg, n_slots=2, max_len=128, seed=i,
-                      decode_chunk_len=4, prompt_buckets=(32, 64))
+                      decode_chunk_len=4, prompt_buckets=(32, 64),
+                      page_size=32)
                for i in range(2)]
     from vita_tpu.cli import ByteTokenizer
 
