@@ -171,10 +171,13 @@ def pp_prefill_chunk(
 # ----------------------------------------------------------------------
 @functools.partial(
     jax.jit, donate_argnames=("kp", "vp", "kscale", "vscale"),
-    static_argnames=("llm_cfg", "chunk_len", "sampling_mode", "mesh"),
+    static_argnames=(
+        "llm_cfg", "chunk_len", "sampling_mode", "mesh", "vocab_split"
+    ),
 )
 def pp_decode_chunk(
-    llm_params: Params,  # decode params: layers pipe-sharded, head replicated
+    llm_params: Params,  # decode params: layers pipe-sharded; head
+    # replicated, or vocab-split over 'pipe' when vocab_split=True
     kp: jnp.ndarray,  # [L, Hkv, P, page, d] pool, pipe-sharded on L
     vp: jnp.ndarray,
     table: jnp.ndarray,  # [W, Bw, max_pages] int32
@@ -192,6 +195,7 @@ def pp_decode_chunk(
     chunk_len: int,
     sampling_mode: str,
     mesh,
+    vocab_split: bool = False,
 ):
     """Advance every wave ``chunk_len`` tokens through the S-stage ring.
 
@@ -202,6 +206,17 @@ def pp_decode_chunk(
     (kp, vp, toks_fed [W, Bw, chunk_len], next_tok [W, Bw],
     pos_out [W, Bw], key) — plus (kscale, vscale) appended when the pool
     is int8-quantized (kv_int8 x PP composition).
+
+    ``vocab_split=True`` (VERDICT r4 weak item 3): `embed` and `lm_head`
+    arrive vocab-sharded over 'pipe' instead of replicated per stage —
+    each substep the finished wave's hidden is psum-broadcast, every
+    stage reads only its V/S head columns (the per-substep lm_head HBM
+    read parallelizes S-ways), the logits all_gather back, and the new
+    token's embedding row psums from whichever stage owns it. Removes
+    the (S-1)/S head+embed replication (~0.74 GB/chip of the 51760x4096
+    pair at pipe=8; the reference's vLLM PP shards these the same way —
+    VocabParallelEmbedding/ParallelLMHead, vllm_file/mixtral.py:586-590,
+    675-684).
     """
     from vita_tpu.sampling import sample_tokens
 
@@ -350,30 +365,72 @@ def pp_decode_chunk(
                 x_cur, kp, vp, ks, vs, table_w, pos_w, act_w
             )
 
-            # only the LAST stage pays the lm_head read + sample
-            def finish(yy):
-                h = rms_norm(yy, head["ln_final"], llm_cfg.rms_eps)
-                logits = (h[:, 0] @ head["lm_head"]).astype(jnp.float32)
-                t_new = sample_tokens(
-                    logits, sub, jnp.take(temps, wave, axis=0),
-                    jnp.take(topks, wave, axis=0),
-                    jnp.take(topps, wave, axis=0), mode=sampling_mode,
-                )
-                emb = jnp.take(head["embed"], t_new, axis=0)[:, None].astype(
-                    yy.dtype
-                )
-                return t_new, emb
-
-            def skip(yy):
-                return (
-                    _vary(jnp.zeros((bw,), jnp.int32)),
-                    jnp.zeros_like(yy),
-                )
-
-            tok_new, emb = jax.lax.cond(stage == n_stages - 1, finish, skip, y)
-            # the last stage finishes wave (t-(S-1)) mod S token (t-(S-1))//S
+            # the last stage finishes wave (t-(S-1)) mod S, token (t-(S-1))//S
             jf = jnp.maximum(t - (n_stages - 1), 0)
-            w_f, i_f = jf % n_stages, jf // n_stages
+            w_f = jf % n_stages
+            if vocab_split:
+                # every stage participates in the head: psum-broadcast the
+                # finished wave's hidden from the last stage, matmul the
+                # local V/S lm_head columns (the per-substep head HBM read
+                # parallelizes S-ways), all_gather the logits back, sample
+                # identically everywhere (same subkey + the FINISHED wave
+                # w_f's sampling knobs — each stage's own `wave` differs,
+                # so indexing by it would desynchronize the stages' samples
+                # and the embedding psum below would mix rows of different
+                # tokens), and psum the owning stage's embedding row for
+                # the new token. Column-partition + exact-zero psums keep
+                # the logits bit-identical to the replicated path.
+                hh = rms_norm(y, head["ln_final"], llm_cfg.rms_eps)[:, 0]
+                h_b = jax.lax.psum(
+                    jnp.where(stage == n_stages - 1, hh, jnp.zeros_like(hh)),
+                    PIPE,
+                )
+                logits = jax.lax.all_gather(
+                    (h_b @ head["lm_head"]).astype(jnp.float32),
+                    PIPE, axis=1, tiled=True,
+                )
+                tok_new = sample_tokens(
+                    logits, sub, jnp.take(temps, w_f, axis=0),
+                    jnp.take(topks, w_f, axis=0),
+                    jnp.take(topps, w_f, axis=0), mode=sampling_mode,
+                )
+                v_loc = head["embed"].shape[0]
+                loc = tok_new - stage * v_loc
+                in_shard = (loc >= 0) & (loc < v_loc)
+                emb_l = jnp.take(
+                    head["embed"], jnp.clip(loc, 0, v_loc - 1), axis=0
+                )
+                emb = jax.lax.psum(
+                    jnp.where(in_shard[:, None], emb_l,
+                              jnp.zeros_like(emb_l)),
+                    PIPE,
+                )[:, None].astype(y.dtype)
+            else:
+                # replicated head: only the LAST stage pays the lm_head
+                # read + sample
+                def finish(yy):
+                    h = rms_norm(yy, head["ln_final"], llm_cfg.rms_eps)
+                    logits = (h[:, 0] @ head["lm_head"]).astype(jnp.float32)
+                    t_new = sample_tokens(
+                        logits, sub, jnp.take(temps, wave, axis=0),
+                        jnp.take(topks, wave, axis=0),
+                        jnp.take(topps, wave, axis=0), mode=sampling_mode,
+                    )
+                    emb = jnp.take(
+                        head["embed"], t_new, axis=0
+                    )[:, None].astype(yy.dtype)
+                    return t_new, emb
+
+                def skip(yy):
+                    return (
+                        _vary(jnp.zeros((bw,), jnp.int32)),
+                        jnp.zeros_like(yy),
+                    )
+
+                tok_new, emb = jax.lax.cond(
+                    stage == n_stages - 1, finish, skip, y
+                )
+            i_f = jf // n_stages
             fin_valid = (t >= n_stages - 1) & (i_f < chunk_len)
             i_f = jnp.where(fin_valid, i_f, chunk_len)  # OOB -> drop
             samples = samples.at[w_f, i_f].set(tok_new, mode="drop")
@@ -412,11 +469,16 @@ def pp_decode_chunk(
         kscale = jnp.zeros((0,), jnp.float32)
         vscale = jnp.zeros((0,), jnp.float32)
     scale_spec = pool_spec if quant else P()
+    head_spec = {
+        "ln_final": P(),
+        "lm_head": P(None, PIPE),
+        "embed": P(PIPE, None),
+    } if vocab_split else P()
     kp, vp, kscale, vscale, samples = jax.shard_map(
         ring_fn,
         mesh=mesh,
-        in_specs=(P(PIPE), P(), pool_spec, pool_spec, scale_spec, scale_spec,
-                  P(), P(), P(), P(), P(), P(), P(), P()),
+        in_specs=(P(PIPE), head_spec, pool_spec, pool_spec, scale_spec,
+                  scale_spec, P(), P(), P(), P(), P(), P(), P(), P()),
         out_specs=(pool_spec, pool_spec, scale_spec, scale_spec, P()),
         axis_names={PIPE},
     )(llm_params["layers"], head, kp, vp, kscale, vscale, table, pos, active,
