@@ -77,6 +77,8 @@ def _load_recorded() -> dict:
                           ("duplex_latency.json", "recorded_duplex_"),
                           ("engine_batch_gather_q4.json", "recorded_batch_q4_"),
                           ("engine_batch_kvint8.json", "recorded_batch_kvint8_"),
+                          ("engine_batch_gather_q4_kvint8.json",
+                           "recorded_batch_q4_kvint8_"),
                           ("engine_ttft.json", "recorded_engine_")):
         path = os.path.join(rdir, fname)
         if os.path.exists(path):

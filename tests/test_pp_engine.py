@@ -377,3 +377,15 @@ def test_pp_vocab_indivisible_falls_back(tiny4, pp2_mesh):
         return req.tokens
 
     assert toks(pp2_mesh) == toks(None)
+
+
+def test_pp_slots_round_up_to_wave_grid(tiny4, pp2_mesh):
+    """n_slots that does not divide the pipe axis rounds UP to the wave
+    grid (extra slots are usable capacity) instead of raising."""
+    cfg, params = tiny4
+    req = Request(input_ids=PROMPT, max_new_tokens=8, eos_id=-1)
+    eng = _run(cfg, params, pp2_mesh, [req], n_slots=3, max_len=64)
+    assert eng.n_slots == 4
+    ref = Request(input_ids=PROMPT, max_new_tokens=8, eos_id=-1)
+    _run(cfg, params, None, [ref], n_slots=3, max_len=64)
+    assert req.tokens == ref.tokens

@@ -295,10 +295,11 @@ class Engine:
                     f"{self._pp}"
                 )
             if n_slots % self._pp:
-                raise ValueError(
-                    f"n_slots={n_slots} must be a multiple of the pipe axis "
-                    f"{self._pp} (slots partition into one wave per stage)"
-                )
+                # slots partition into one wave per stage (the S-wave ring
+                # needs a [S, Bw] grid): round up rather than reject — the
+                # extra slots are real usable capacity (the default pool
+                # sizes to the rounded count)
+                n_slots = -(-n_slots // self._pp) * self._pp
             # pipe composes with model/expert: the pp_serving programs are
             # manual over 'pipe' only, so GSPMD keeps TP/EP sharding inside
             # each stage and the Pallas kernels run as nested shard_map
