@@ -192,8 +192,8 @@ def test_pp_engine_session_prefix_reuse(tiny4, pp2_mesh):
 
 def test_pp_engine_validations(tiny4, pp2_mesh):
     cfg, params = tiny4
-    with pytest.raises(ValueError, match="multiple of the pipe"):
-        Engine(params, cfg, n_slots=3, max_len=64, mesh=pp2_mesh)
+    # indivisible n_slots rounds up (test_pp_slots_round_up_to_wave_grid);
+    # an indivisible layer stack is still a hard error
     bad = dataclasses.replace(
         cfg, llm=dataclasses.replace(cfg.llm, n_layers=3)
     )
