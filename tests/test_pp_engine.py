@@ -252,6 +252,43 @@ def test_pp_ep_composed_token_identical(tiny4, pp2_ep2_mesh, decode_moe_mode):
     assert toks(pp2_ep2_mesh) == ref
 
 
+def test_pp_gmm_prefill_token_identical(tiny4, pp2_mesh):
+    """gmm prefill dispatch under PP (scan-safe flat views of each
+    stage's LOCAL stacked expert weights, group ids li*E + expert) must
+    be token-identical to the single-chip gmm engine. Multi-chunk
+    prompt so the stage-chain prefill runs the gmm path repeatedly."""
+    cfg, params = tiny4
+    prompt = np.arange(1, 41, dtype=np.int32) % 90 + 1
+
+    def toks(mesh):
+        req = Request(input_ids=prompt, max_new_tokens=8, eos_id=-1)
+        eng = _run(cfg, params, mesh, [req], n_slots=2, max_len=96,
+                   prefill_moe_mode="gmm", prefill_chunk=16)
+        assert eng._prefill_llm_cfg.moe_mode == "gmm"
+        return req.tokens
+
+    ref = toks(None)
+    assert len(ref) == 8
+    assert toks(pp2_mesh) == ref
+
+
+def test_pp_gmm_prefill_composed_falls_back_dense(tiny4, pp2_ep2_mesh):
+    """On a composed pipe x expert mesh the stage-local expert weights are
+    additionally EP-sharded, which the flat-view Pallas path inside the
+    pipe-manual region can't consume — the engine must silently select
+    the exact dense dispatch (same tokens: gmm is dropless/exact)."""
+    cfg, params = tiny4
+    req = Request(input_ids=PROMPT, max_new_tokens=8, eos_id=-1)
+    eng = _run(cfg, params, pp2_ep2_mesh, [req], n_slots=2, max_len=64,
+               prefill_moe_mode="gmm")
+    assert eng._prefill_llm_cfg.moe_mode == "dense"
+
+    ref = Request(input_ids=PROMPT, max_new_tokens=8, eos_id=-1)
+    _run(cfg, params, None, [ref], n_slots=2, max_len=64,
+         prefill_moe_mode="gmm")
+    assert req.tokens == ref.tokens
+
+
 @pytest.mark.slow
 def test_pp_tp_ep_composed_quantized(tiny4):
     """pipe=2 x model=2 x expert=2 (all 8 devices) with int8 gather decode:

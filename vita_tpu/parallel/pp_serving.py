@@ -101,10 +101,26 @@ def pp_prefill_chunk(
 
         def run_local(args):
             x0, sk0, sv0 = args
+            # gmm prefill inside the stage scan must read flat uint views
+            # of the stage's LOCAL stacked expert weights (group ids
+            # li*E + expert) — the scan-sliced arrays as Pallas operands
+            # would cost a full-layer weight copy each (the gmm_scan
+            # invariant, models/mixtral.py:420-436)
+            gmm_flat = None
+            if llm.moe_mode == "gmm":
+                from vita_tpu.ops.moe_gmm import as_uint_view
+
+                gmm_flat = {
+                    k: as_uint_view(v.reshape((-1,) + v.shape[2:]))
+                    for k, v in lp_local["moe"].items()
+                    if k != "router"
+                }
+            n_local = jax.tree.leaves(lp_local)[0].shape[0]
+            lids = jnp.arange(n_local, dtype=jnp.int32)
 
             def f(carry, inp):
                 xx = carry
-                lp, ck, cv = inp
+                lp, ck, cv, li = inp
                 h = rms_norm(xx, lp["ln_attn"], llm.rms_eps)
                 # mesh passes through so flash attention runs as a nested
                 # 'model' shard_map island inside the pipe-manual region
@@ -120,10 +136,11 @@ def pp_prefill_chunk(
                     lp["moe"], h.reshape(chunk, d), llm.top_k,
                     mode=llm.moe_mode,
                     capacity_factor=llm.moe_capacity_factor,
+                    flat=gmm_flat, group_off=li * llm.n_experts,
                 )
                 return xx + moe_out.reshape(1, chunk, d), (nk, nv)
 
-            y, (nk, nv) = jax.lax.scan(f, x0, (lp_local, sk0, sv0))
+            y, (nk, nv) = jax.lax.scan(f, x0, (lp_local, sk0, sv0, lids))
             return y, nk, nv
 
         def skip(args):

@@ -390,10 +390,19 @@ class Engine:
         if prefill_moe_mode not in ("dense", "capacity", "sort", "gmm"):
             raise ValueError(f"bad prefill_moe_mode {prefill_moe_mode!r}")
         if self._pp > 1 and prefill_moe_mode == "gmm":
-            # inside the pipeline's per-stage layer scan the Pallas grouped
-            # matmul would consume scan-sliced stacked weights (the 2.8 GB
-            # copy-per-layer trap) — run the exact dense dispatch instead
-            prefill_moe_mode = "dense"
+            # pp_prefill_chunk runs gmm via scan-safe flat uint views of
+            # the stage's LOCAL stacked expert weights (gmm_scan, group id
+            # li*E + expert — the same invariant as mixtral's training
+            # scan). That path needs the expert weights whole per stage:
+            # when the mesh ALSO shards them over 'model'/'expert', the
+            # Pallas custom call inside the pipe-manual region can't
+            # auto-partition, so fall back to the exact dense dispatch
+            # (which GSPMD partitions fine) on composed meshes only.
+            composed = any(
+                int(mesh.shape.get(ax, 1)) > 1 for ax in ("model", "expert")
+            )
+            if composed:
+                prefill_moe_mode = "dense"
         self._prefill_llm_cfg = dataclasses.replace(
             cfg.llm, moe_mode=prefill_moe_mode
         )
