@@ -171,7 +171,11 @@ def test_split_dispatch_train_bench_tiny():
     out = subprocess.run(
         [sys.executable, os.path.join(repo, "tools", "bench_train_moe.py"),
          "--tiny", "--split-layers", "--attn", "xla", "--modes", "sort",
-         "--batch", "2", "--seq", "64", "--layers", "2"],
+         "--batch", "2", "--seq", "64", "--layers", "2",
+         # chunked-remat MoE (the lever that fits stage-3 token volume on
+         # one chip): scan-over-chunks + jax.checkpoint must survive the
+         # per-layer vjp programs off-chip too
+         "--moe-chunk", "32"],
         cwd=repo, capture_output=True, text=True, timeout=600,
         env={**os.environ, "PYTHONPATH": repo},
     )

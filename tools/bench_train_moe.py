@@ -57,6 +57,19 @@ def main() -> None:
                         "— this is also the reference's real regime "
                         "(micro-bs 8 x grad-accum 2, "
                         "finetuneTask_nodes.sh:48-51)")
+    p.add_argument("--moe-chunk", type=int, default=0,
+                   help="with --split-layers: run each layer's MoE as a "
+                        "lax.scan over token chunks of this size with "
+                        "jax.checkpoint on the body — the bwd then "
+                        "rematerializes one chunk's expert intermediates "
+                        "at a time instead of holding the full token "
+                        "volume's (the multi-GB buffers that OOM the "
+                        "chip at >=16k tokens), unlocking the stage-3 "
+                        "shape (8x4096) on one chip at ~33%% extra MoE "
+                        "fwd FLOPs. The aux load-balancing loss becomes "
+                        "the mean of chunk-LOCAL aux losses (and sort-"
+                        "mode capacity is per chunk); expert/output "
+                        "grads are unchanged (verified vs whole-T gmm)")
     p.add_argument("--debug-compile", action="store_true",
                    help="with --split-layers: compile/run each program "
                         "separately with progress prints to stderr")
@@ -204,6 +217,31 @@ def main() -> None:
         valid = jnp.ones((batch, seq), bool)
         d = cfg.d_model
 
+        def moe_whole(lp_moe, h2d):
+            return moe_ffn(
+                lp_moe, h2d, cfg.top_k,
+                mode=mode, capacity_factor=cfg.moe_capacity_factor,
+            )
+
+        mc = args.moe_chunk
+        if mc:
+            if (batch * seq) % mc:
+                raise ValueError(f"tokens {batch * seq} % moe_chunk {mc}")
+
+            def moe_block(lp_moe, h2d):
+                # equal-size chunks => mean of per-chunk aux means is exact
+                hc = h2d.reshape(-1, mc, d)
+
+                @jax.checkpoint
+                def body(_, xc):
+                    out, aux = moe_whole(lp_moe, xc)
+                    return None, (out, aux)
+
+                _, (outs, auxs) = jax.lax.scan(body, None, hc)
+                return outs.reshape(h2d.shape), auxs.mean()
+        else:
+            moe_block = moe_whole
+
         def layer_step(lp, x):
             h = rms_norm(x, lp["ln_attn"], cfg.rms_eps)
             attn_out, _, _ = _attention_block(
@@ -211,10 +249,7 @@ def main() -> None:
             )
             x = x + attn_out
             h = rms_norm(x, lp["ln_moe"], cfg.rms_eps)
-            moe_out, aux = moe_ffn(
-                lp["moe"], h.reshape(batch * seq, d), cfg.top_k,
-                mode=mode, capacity_factor=cfg.moe_capacity_factor,
-            )
+            moe_out, aux = moe_block(lp["moe"], h.reshape(batch * seq, d))
             return x + moe_out.reshape(batch, seq, d), aux
 
         def layer_bwd_fn(lp, x, ct):
@@ -346,6 +381,8 @@ def main() -> None:
         "metric": "moe_train_step", "attn": args.attn,
         "layers": args.layers, "grad_accum": args.accum,
         "dispatch": "per_layer_programs" if args.split_layers else "fused",
+        **({"moe_chunk": args.moe_chunk}
+           if args.split_layers and args.moe_chunk else {}),
         **{k: v for k, v in results.items()},
     }
     print(json.dumps(out))
