@@ -72,3 +72,75 @@ def test_sort_runs_under_mesh(setup):
         )(sharded, xs)
     ref, _ = moe_ffn(params, x, 2, mode="sort", capacity_factor=2.0)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+class TestMoeChunk:
+    """chunk=N: rematerialized scan over token chunks (ops.moe.moe_ffn).
+
+    The memory lever for memory-constrained training (MixtralConfig.
+    moe_chunk / train CLI --moe-chunk): expert outputs must be unchanged
+    for the dropless modes, the aux loss becomes the valid-token-weighted
+    mean of chunk-local aux losses, and grads through the output path
+    must match the unchunked dispatch."""
+
+    def test_output_exact_dropless(self, setup):
+        params, x = setup
+        for mode in ("dense", "gmm"):
+            a, _ = moe_ffn(params, x, 2, mode=mode)
+            b, _ = moe_ffn(params, x, 2, mode=mode, chunk=8)
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+            )
+
+    def test_ignored_when_not_divisible_or_large(self, setup):
+        params, x = setup  # T=24
+        a, aux_a = moe_ffn(params, x, 2, mode="dense")
+        for chunk in (7, 24, 100):  # 24 % 7 != 0; chunk >= T
+            b, aux_b = moe_ffn(params, x, 2, mode="dense", chunk=chunk)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            assert float(aux_a) == float(aux_b)
+
+    def test_grads_match_through_output_path(self, setup):
+        """Aux excluded (chunk-local by design); output grads must agree."""
+        params, x = setup
+
+        def loss(p, chunk):
+            out, _ = moe_ffn(p, x, 2, mode="dense", chunk=chunk)
+            return jnp.sum(out**2)
+
+        g0 = jax.grad(loss)(params, 0)
+        g8 = jax.grad(loss)(params, 8)
+        for k in g0:
+            np.testing.assert_allclose(
+                np.asarray(g0[k]), np.asarray(g8[k]), rtol=2e-4, atol=2e-4
+            )
+
+    def test_chunk_local_aux_weighted_by_mask(self, setup):
+        """aux == sum_c(aux_c * n_valid_c) / n_valid; padding excluded."""
+        params, x = setup
+        mask = jnp.asarray([1.0] * 20 + [0.0] * 4)
+        _, aux = moe_ffn(params, x, 2, mode="dense", token_mask=mask, chunk=8)
+        auxs, ns = [], []
+        for c in range(3):
+            xc, mc = x[c * 8:(c + 1) * 8], mask[c * 8:(c + 1) * 8]
+            _, a = moe_ffn(params, xc, 2, mode="dense", token_mask=mc)
+            auxs.append(float(a))
+            ns.append(float(mc.sum()))
+        want = sum(a * n for a, n in zip(auxs, ns)) / sum(ns)
+        np.testing.assert_allclose(float(aux), want, rtol=1e-5)
+
+    def test_forward_config_knob(self):
+        """MixtralConfig.moe_chunk threads to every training layer path."""
+        from vita_tpu.models import mixtral
+
+        cfg = mixtral.MixtralConfig.tiny(moe_mode="gmm")
+        params = mixtral.init_params(jax.random.PRNGKey(0), cfg)
+        ids = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0,
+                                 cfg.vocab_size)
+        ref, _, _ = mixtral.forward(params, cfg, input_ids=ids)
+        import dataclasses
+        cfg_c = dataclasses.replace(cfg, moe_chunk=8)
+        got, _, _ = mixtral.forward(params, cfg_c, input_ids=ids)
+        np.testing.assert_allclose(
+            np.asarray(ref), np.asarray(got), rtol=2e-4, atol=2e-4
+        )

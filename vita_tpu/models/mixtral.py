@@ -56,6 +56,11 @@ class MixtralConfig:
     router_aux_loss_coef: float = 0.02
     moe_mode: str = "dense"  # 'dense' | 'capacity' (training at scale)
     moe_capacity_factor: float = 1.25
+    # >0: scan each layer's MoE over token chunks of this size with a
+    # jax.checkpoint body — bwd rematerializes one chunk's expert
+    # intermediates at a time (caps the training step's HBM high-water;
+    # chunk-local aux loss / sort capacity — see ops.moe.moe_ffn).
+    moe_chunk: int = 0
     attn_backend: str = "xla"  # 'xla' | 'flash'
     remat: bool = False  # jax.checkpoint each layer (trade FLOPs for HBM)
     # GPipe pipeline parallelism over the mesh 'pipe' axis
@@ -405,6 +410,7 @@ def forward(
                 lp["moe"], h.reshape(bm * sm, d), cfg.top_k,
                 mode=cfg.moe_mode, capacity_factor=cfg.moe_capacity_factor,
                 token_mask=None if tm_mb is None else tm_mb.reshape(-1),
+                chunk=cfg.moe_chunk,
             )
             return x + moe_out.reshape(bm, sm, d), aux
 
@@ -450,6 +456,7 @@ def forward(
             mode=cfg.moe_mode, capacity_factor=cfg.moe_capacity_factor,
             token_mask=tm_flat,
             flat=gmm_flat, group_off=li * cfg.n_experts,
+            chunk=cfg.moe_chunk,
         )
         x = x + moe_out.reshape(b, s, d)
         return (x, aux_sum + aux), (nk, nv)
@@ -595,7 +602,7 @@ def forward(
                 moe_out, aux = moe_ffn(
                     lp["moe"], h.reshape(b * s, d), cfg.top_k,
                     mode=cfg.moe_mode, capacity_factor=cfg.moe_capacity_factor,
-                    token_mask=tm_flat,
+                    token_mask=tm_flat, chunk=cfg.moe_chunk,
                 )
             x = x + moe_out.reshape(b, s, d)
             aux_total = aux_total + aux
@@ -631,6 +638,7 @@ def forward(
                     mode=cfg.moe_mode, capacity_factor=cfg.moe_capacity_factor,
                     token_mask=tm_flat,
                     flat=gmm_flat, group_off=li * cfg.n_experts,
+                    chunk=cfg.moe_chunk,
                 )
                 x = x + moe_out.reshape(b, s, d)
                 return (x, aux_sum + aux), (None, None)

@@ -105,12 +105,46 @@ def moe_ffn(
     token_mask: Optional[jnp.ndarray] = None,
     flat: Optional[dict] = None,
     group_off=None,
+    chunk: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (output [T, D], aux_loss scalar).
 
     ``flat``/``group_off`` (gmm mode only): scan-safe stacked-weight views
-    — see ops.moe_gmm.gmm_scan."""
+    — see ops.moe_gmm.gmm_scan.
+
+    ``chunk`` (training modes only): run the MoE as a ``lax.scan`` over
+    token chunks of this size with ``jax.checkpoint`` on the body. The
+    backward pass then rematerializes ONE chunk's expert intermediates at
+    a time instead of holding the full token volume's (at stage-3 shapes
+    those are the multi-GB buffers that set the training step's HBM
+    high-water), at ~1/3 extra MoE FLOPs. Semantics deltas, both bounded
+    by chunk size: the aux load-balancing loss becomes the valid-token-
+    weighted mean of chunk-LOCAL aux losses (f_e/P_e statistics over each
+    chunk rather than the whole batch), and sort/capacity-mode expert
+    capacity is computed per chunk. Expert outputs are unchanged for the
+    dropless modes (dense/gmm). Ignored when T <= chunk, when T does not
+    divide by it, or for the gather decode modes (tiny T)."""
     t, d = x.shape
+    if (chunk and 0 < chunk < t and t % chunk == 0
+            and mode in ("dense", "sort", "gmm", "capacity")):
+        xs = x.reshape(-1, chunk, d)
+        tms = (jnp.ones((xs.shape[0], chunk), jnp.float32)
+               if token_mask is None
+               else token_mask.reshape(-1, chunk))
+
+        @jax.checkpoint
+        def _chunk_body(_, inp):
+            xc, tc = inp
+            out, aux = moe_ffn(
+                params, xc, top_k, mode=mode,
+                capacity_factor=capacity_factor, token_mask=tc,
+                flat=flat, group_off=group_off,
+            )
+            return None, (out, aux, tc.astype(jnp.float32).sum())
+
+        _, (outs, auxs, ns) = jax.lax.scan(_chunk_body, None, (xs, tms))
+        aux = jnp.sum(auxs * ns) / jnp.maximum(jnp.sum(ns), 1.0)
+        return outs.reshape(t, d), aux
     e = params["w_gate"].shape[0]
     router_logits = jnp.einsum(
         "td,de->te", x.astype(jnp.float32), params["router"].astype(jnp.float32)

@@ -49,6 +49,12 @@ def main(argv: Optional[List[str]] = None) -> int:
                         "FLOPs), capacity/sort (token-dropping), gmm "
                         "(Pallas grouped matmul — exact AND top-k-only "
                         "FLOPs, the fastest at scale)")
+    p.add_argument("--moe-chunk", type=int, default=0,
+                   help="run each layer's MoE as a rematerialized scan "
+                        "over token chunks of this size: caps the step's "
+                        "activation HBM high-water at ~1/3 extra MoE "
+                        "FLOPs (memory-constrained fine-tuning; "
+                        "chunk-local aux loss — see ops.moe.moe_ffn)")
     # stage chaining (reference: --pretrain_mm_mlp_adapter finetune.sh:16 /
     # vita_arch.py:63-69; whale final.pt init vita_arch.py:93-108; LoRA+base
     # builder.py:100-175)
@@ -135,10 +141,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     )
     print(f"[data] {len(ds)} samples from {len(args.data)} file(s)")
 
-    if args.moe_mode:
+    if args.moe_mode or args.moe_chunk:
         import dataclasses as _dc
 
-        cfg = _dc.replace(cfg, llm=_dc.replace(cfg.llm, moe_mode=args.moe_mode))
+        cfg = _dc.replace(cfg, llm=_dc.replace(
+            cfg.llm,
+            moe_mode=args.moe_mode or cfg.llm.moe_mode,
+            moe_chunk=args.moe_chunk,
+        ))
 
     mesh = make_mesh(shape=args.mesh) if args.mesh else None
     if mesh is not None and mesh.shape["pipe"] > 1:
