@@ -67,6 +67,7 @@ def _load_recorded() -> dict:
                           ("profile_decode.json", "recorded_profile_"),
                           ("train_moe.json", "recorded_train_"),
                           ("train_moe_split.json", "recorded_train_split_"),
+                          ("train_moe_stage3.json", "recorded_train_stage3_"),
                           ("prefill_moe.json", "recorded_prefillmoe_"),
                           ("engine_batch.json", "recorded_batch_"),
                           ("masked_moe.json", "recorded_masked_"),

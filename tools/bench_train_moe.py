@@ -80,6 +80,11 @@ def main() -> None:
     p.add_argument("--save", action="store_true",
                    help="write bench_results/train_moe.json (merged into "
                         "bench.py extras as recorded_train_*)")
+    p.add_argument("--save-as", default=None, metavar="NAME.json",
+                   help="with --save: write bench_results/NAME.json "
+                        "instead of the default file (keeps runs at "
+                        "different layer counts / dispatches from "
+                        "clobbering each other)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny geometry (CPU validation; do not --save)")
     args = p.parse_args()
@@ -100,14 +105,18 @@ def main() -> None:
 
     # vocab shrunk: the full 51760-row fp32 logits tensor alone is ~7 GB at
     # this token volume and OOMs the single chip; expert cost is unchanged.
+    # moe_chunk reaches BOTH dispatches: the fused step via the config knob
+    # (MixtralConfig.moe_chunk -> every training layer path) and the
+    # split-layer harness via its hand-built layer_step below
     if args.tiny:
         base = mixtral.MixtralConfig.tiny(
-            n_layers=args.layers, remat=True, attn_backend=args.attn
+            n_layers=args.layers, remat=True, attn_backend=args.attn,
+            moe_chunk=args.moe_chunk,
         )
     else:
         base = mixtral.MixtralConfig(
             n_layers=args.layers, vocab_size=8192, dtype=jnp.bfloat16,
-            remat=True, attn_backend=args.attn,
+            remat=True, attn_backend=args.attn, moe_chunk=args.moe_chunk,
         )
     params = mixtral.init_params(jax.random.PRNGKey(0), base)
     e_flops = 3 * 2 * base.d_model * base.d_ff  # per token per expert (fwd)
@@ -265,13 +274,31 @@ def main() -> None:
             return ss, g_x
 
         def head_bwd_fn(hp, x, mb_labels):
-            def head_loss(hp, x):
-                h = rms_norm(x, hp["ln_final"], cfg.rms_eps)
+            def head_ce(hp, x2d, lab1d):
+                h = rms_norm(x2d, hp["ln_final"], cfg.rms_eps)
                 logits = h @ hp["lm_head"]
                 lse = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
                 return -jnp.take_along_axis(
-                    lse, mb_labels[..., None], axis=-1
+                    lse, lab1d[:, None], axis=-1
                 ).mean()
+
+            def head_loss(hp, x):
+                if not mc:
+                    return head_ce(hp, x.reshape(-1, d),
+                                   mb_labels.reshape(-1))
+                # chunk the CE over tokens like the MoE: the full-T fp32
+                # logits+softmax buffers (~GBs at 32k tokens) otherwise set
+                # this program's HBM peak. Equal chunks => mean of chunk
+                # means is the exact global CE mean.
+                xc = x.reshape(-1, mc, d)
+                lc = mb_labels.reshape(-1, mc)
+
+                @jax.checkpoint
+                def body(_, inp):
+                    return None, head_ce(hp, inp[0], inp[1])
+
+                _, ces = jax.lax.scan(body, None, (xc, lc))
+                return ces.mean()
 
             loss, (g_hp, g_x) = jax.value_and_grad(
                 head_loss, argnums=(0, 1)
@@ -381,8 +408,7 @@ def main() -> None:
         "metric": "moe_train_step", "attn": args.attn,
         "layers": args.layers, "grad_accum": args.accum,
         "dispatch": "per_layer_programs" if args.split_layers else "fused",
-        **({"moe_chunk": args.moe_chunk}
-           if args.split_layers and args.moe_chunk else {}),
+        **({"moe_chunk": args.moe_chunk} if args.moe_chunk else {}),
         **{k: v for k, v in results.items()},
     }
     print(json.dumps(out))
@@ -393,8 +419,8 @@ def main() -> None:
     if args.save and measured:
         import os
 
-        fname = ("train_moe_split.json" if args.split_layers
-                 else "train_moe.json")
+        fname = args.save_as or ("train_moe_split.json" if args.split_layers
+                                 else "train_moe.json")
         path = os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "bench_results", fname)
         os.makedirs(os.path.dirname(path), exist_ok=True)
